@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the operator inventory (SURVEY.md §2) over the driver's
+parquet tables; ``oracle_sql()`` returns DuckDB SQL with bit-identical
+semantics (generated from the same templates — see annoy_spark/gates/).
+``entry(spark)`` runs the flagship dedup pipeline end-to-end at sf0.001.
 """
 
 from __future__ import annotations
@@ -13,26 +12,49 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from annoy_spark.gates import queries as G
+from annoy_spark.operators.cluster import connected_components
+
+_TESTDATA_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for name in ("documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        return spark.sql(G.spark_sql_for(name))
+
+    run.__name__ = f"q_{name}"
+    return run
+
+
+def _duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified-edge connected components via the iterative large-star /
+    small-star operator (annoy_spark.operators.cluster)."""
+    _register(spark, sf_dir)
+    edges = spark.sql(G.duplicate_clusters_edges_sql_spark())
+    nodes = spark.sql(G.duplicate_clusters_nodes_sql_spark())
+    return connected_components(edges, nodes)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedup (sign -> band -> verify -> cluster) at sf0.001."""
+    return _duplicate_clusters(spark, _TESTDATA_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _sql_query(name) for name in G.TEMPLATES
+    }
+    out["duplicate_clusters"] = _duplicate_clusters
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {name: G.duck_sql_for(name) for name in G.TEMPLATES}
+    out["duplicate_clusters"] = G.q_duplicate_clusters_duck()
+    return out

@@ -1,0 +1,508 @@
+"""Gate queries: one template per operator, rendered for Spark and DuckDB.
+
+Each query implements one operator from SURVEY.md §2 over the driver's
+`documents` / `embeddings` tables. Because those tables contain no duplicates,
+every text gate first derives a deterministic corpus with planted duplicates
+*inside the query* (portable string ops only):
+
+    corpus = documents
+           ∪ {doc_id+1_000_000: substr(text, 15)}  for doc_id % 10 = 0   (near dup)
+           ∪ {doc_id+2_000_000: text}              for doc_id % 7  = 0   (exact dup)
+
+Annoy operator parity (citations into /root/reference/):
+- signatures (minhash/simhash)  <-> index build, annoylib.h:1037-1078
+- band grouping                 <-> forest traversal candidates, annoylib.h:1447-1480
+- jaccard/hamming verification  <-> exact re-rank, annoylib.h:1492-1494
+- knn top-k                     <-> get_nns_by_item/vector, annoylib.h:1228-1236
+- pair_distances                <-> get_distance, annoylib.h:1224-1226
+- duplicate_clusters            <-> (new) connected components
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from annoy_spark.gates.dialect import DUCK, MERSENNE_P, SPARK, Dialect
+
+SEED = 42
+SHINGLE_K = 5
+GATE_N_PERM = 16
+GATE_BANDS = 4
+GATE_ROWS = 4
+SIMHASH_BITS = 60          # bits 0..59 of a 15-hex-digit md5 prefix
+HAMMING_T = 12
+JACCARD_S = 0.8
+COSINE_S = 0.99
+Q_SCALE = 10000            # embedding quantization scale
+KNN_K = 10
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# MinHash permutation coefficients, derived from the seed exactly like Annoy
+# derives per-thread RNG streams from one seed (annoylib.h:1256-1262).
+MINHASH_A = [(_h32(f"a{i}:{SEED}") % ((1 << 29) - 1)) + 1 for i in range(GATE_N_PERM)]
+MINHASH_B = [_h32(f"b{i}:{SEED}") for i in range(GATE_N_PERM)]
+
+
+# --------------------------------------------------------------------------
+# shared CTE fragments
+# --------------------------------------------------------------------------
+
+def _corpus_cte(d: Dialect) -> str:
+    return f"""corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, substr(text, 15) AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT CAST(doc_id + 2000000 AS BIGINT) AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def _shingle_ctes(d: Dialect) -> str:
+    """corpus -> toks -> sh (distinct shingle array) -> shx (exploded) -> sizes."""
+    return f"""{_corpus_cte(d)},
+toks AS (
+  SELECT doc_id, {d.tokens('text')} AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id, {d.array_distinct(d.shingles('t', SHINGLE_K))} AS s_arr
+  FROM toks WHERE {d.size('t')} >= 1
+),
+shx AS (
+  SELECT doc_id, {d.explode('s_arr', 's')} FROM sh
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id
+)"""
+
+
+def _minhash_ctes(d: Dialect) -> str:
+    mins = ",\n    ".join(
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MERSENNE_P}) AS m{i}"
+        for i in range(GATE_N_PERM)
+    )
+    band_selects = []
+    for b in range(GATE_BANDS):
+        cols = ", ".join(
+            f"CAST(m{b * GATE_ROWS + r} AS STRING)" if d.name == "spark"
+            else f"CAST(m{b * GATE_ROWS + r} AS VARCHAR)"
+            for r in range(GATE_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, CAST({b} AS BIGINT) AS band, "
+            f"concat_ws('_', {cols}) AS bkey FROM mh"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""{_shingle_ctes(d)},
+hx AS (
+  SELECT doc_id, {d.hex2int('s', 8)} AS h FROM shx
+),
+mh AS (
+  SELECT doc_id,
+    {mins}
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  {bands}
+)"""
+
+
+def _simhash_ctes(d: Dialect) -> str:
+    """Unweighted SimHash over the distinct shingle set: bit j of the
+    signature is the majority of bit j across 60-bit shingle hashes —
+    exactly Annoy's side-of-hyperplane vote, annoylib.h:491-501."""
+    terms = " + ".join(
+        f"(CASE WHEN 2 * {d.big_sum(f'({d.shiftright(chr(104), j)}) % 2')} > COUNT(*) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""{_shingle_ctes(d)},
+sx AS (
+  SELECT doc_id, {d.hex2int('s', 15)} AS h FROM shx
+),
+sim AS (
+  SELECT doc_id, {terms} AS sig FROM sx GROUP BY doc_id
+)"""
+
+
+def _jaccard_ctes(d: Dialect, cand_join: str) -> str:
+    """CTEs computing exact shingle-set Jaccard for candidate pairs (int/int
+    division — correctly-rounded IEEE, bit-identical in both engines)."""
+    return f"""inter AS (
+  {cand_join}
+),
+scored AS (
+  SELECT i.u, i.v,
+    CAST(i.ni AS DOUBLE) / CAST(su.n + sv.n - i.ni AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes su ON su.doc_id = i.u
+  JOIN sizes sv ON sv.doc_id = i.v
+)"""
+
+
+_JACCARD_FINAL = "SELECT u, v, jaccard FROM scored WHERE jaccard >= {s}"
+
+
+def _emb_cte(d: Dialect) -> str:
+    return f"""emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         {d.quantize('embedding', Q_SCALE)} AS q
+  FROM embeddings
+)"""
+
+
+def _emb2_cte(d: Dialect) -> str:
+    """Embedding corpus with planted neighbors: a scaled copy (same
+    direction, cos≈1) and a constant-shifted copy (cos slightly below 1)."""
+    xform = "transform" if d.name == "spark" else "list_transform"
+    scaled = f"{xform}(embedding, x -> CAST(x AS DOUBLE) * CAST(1.5 AS DOUBLE))"
+    shifted = f"{xform}(embedding, x -> CAST(x AS DOUBLE) + CAST(0.02 AS DOUBLE))"
+    return f"""emb2 AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         {d.quantize('embedding', Q_SCALE)} AS q
+  FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id,
+         {d.quantize(scaled, Q_SCALE)} AS q
+  FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT CAST(vec_id + 2000000 AS BIGINT) AS vec_id,
+         {d.quantize(shifted, Q_SCALE)} AS q
+  FROM embeddings WHERE vec_id % 30 = 0
+)"""
+
+
+def _norm_cos(d: Dialect, dot: str, na: str, nb: str) -> str:
+    return f"CAST({dot} AS DOUBLE) / sqrt(CAST({na} * {nb} AS DOUBLE))"
+
+
+# --------------------------------------------------------------------------
+# query templates — name -> SQL for a dialect
+# --------------------------------------------------------------------------
+
+def q_sha_invariant(d: Dialect) -> str:
+    """Per-row content sha256 (input_hint invariant; checked every stage)."""
+    return f"""WITH {_corpus_cte(d)}
+SELECT doc_id, {d.sha256hex('text')} AS content_sha FROM corpus"""
+
+
+def q_exact_dup_groups(d: Dialect) -> str:
+    """Exact dedup via content-hash groupBy (sha256 pre-collapse stage)."""
+    return f"""WITH {_corpus_cte(d)}
+SELECT md5(text) AS content_md5,
+       COUNT(*) AS group_size,
+       MIN(doc_id) AS canonical_id
+FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1"""
+
+
+def q_exact_dup_pairs(d: Dialect) -> str:
+    return f"""WITH {_corpus_cte(d)}
+SELECT a.doc_id AS u, b.doc_id AS v
+FROM corpus a JOIN corpus b
+  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id"""
+
+
+def q_jaccard_pairs(d: Dialect) -> str:
+    """All-pairs exact shingle Jaccard >= s (brute-force verification path)."""
+    cand = """SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS ni
+  FROM shx a JOIN shx b ON b.s = a.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id"""
+    return f"""WITH {_shingle_ctes(d)},
+{_jaccard_ctes(d, cand)}
+{_JACCARD_FINAL.format(s=JACCARD_S)}"""
+
+
+def q_minhash_signatures(d: Dialect) -> str:
+    cols = ", ".join(
+        f"CAST(m{i} AS STRING)" if d.name == "spark" else f"CAST(m{i} AS VARCHAR)"
+        for i in range(GATE_N_PERM)
+    )
+    return f"""WITH {_minhash_ctes(d)}
+SELECT doc_id, concat_ws('_', {cols}) AS minhash FROM mh"""
+
+
+def q_band_groups(d: Dialect) -> str:
+    """Banding introspection: non-trivial band groups (candidate buckets)."""
+    return f"""WITH {_minhash_ctes(d)}
+SELECT band, bkey, COUNT(*) AS n_docs
+FROM bands GROUP BY band, bkey HAVING COUNT(*) > 1"""
+
+
+def q_minhash_lsh_pairs(d: Dialect) -> str:
+    """Full LSH pipeline: banded minhash candidates -> exact Jaccard verify."""
+    cand = """SELECT c.u, c.v, COUNT(*) AS ni
+  FROM cand c
+  JOIN shx a ON a.doc_id = c.u
+  JOIN shx b ON b.doc_id = c.v AND b.s = a.s
+  GROUP BY c.u, c.v"""
+    return f"""WITH {_minhash_ctes(d)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+),
+{_jaccard_ctes(d, cand)}
+{_JACCARD_FINAL.format(s=JACCARD_S)}"""
+
+
+def q_simhash_signatures(d: Dialect) -> str:
+    return f"""WITH {_simhash_ctes(d)}
+SELECT doc_id, sig AS simhash FROM sim"""
+
+
+def q_simhash_hamming_pairs(d: Dialect) -> str:
+    ham = d.bit_count(d.xor("a.sig", "b.sig"))
+    return f"""WITH {_simhash_ctes(d)}
+SELECT a.doc_id AS u, b.doc_id AS v, CAST({ham} AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE {ham} <= {HAMMING_T}"""
+
+
+def q_pair_distances(d: Dialect) -> str:
+    """get_distance analog (annoylib.h:1224-1226): exact Jaccard + Hamming
+    for the planted pairs."""
+    ham = d.bit_count(d.xor("sa.sig", "sb.sig"))
+    return f"""WITH {_simhash_ctes(d)},
+pairs AS (
+  SELECT CAST(doc_id AS BIGINT) AS u, CAST(doc_id + 1000000 AS BIGINT) AS v
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) AS u, CAST(doc_id + 2000000 AS BIGINT) AS v
+  FROM documents WHERE doc_id % 7 = 0
+),
+inter AS (
+  SELECT p.u, p.v, COUNT(xb.s) AS ni
+  FROM pairs p
+  LEFT JOIN shx xa ON xa.doc_id = p.u
+  LEFT JOIN shx xb ON xb.doc_id = p.v AND xb.s = xa.s
+  GROUP BY p.u, p.v
+)
+SELECT i.u, i.v,
+  CAST(i.ni AS DOUBLE) / CAST(su.n + sv.n - i.ni AS DOUBLE) AS jaccard,
+  CAST({ham} AS BIGINT) AS hamming
+FROM inter i
+JOIN sizes su ON su.doc_id = i.u
+JOIN sizes sv ON sv.doc_id = i.v
+JOIN sim sa ON sa.doc_id = i.u
+JOIN sim sb ON sb.doc_id = i.v"""
+
+
+def q_knn_dot_topk(d: Dialect) -> str:
+    """get_nns_by_item, dot metric (annoylib.h:1228-1232): exact top-k by
+    integer-quantized dot product for sampled query vectors."""
+    dot = d.int_dot("qv", "nv")
+    return f"""WITH {_emb_cte(d)},
+queries AS (
+  SELECT vec_id AS qid, q AS qv FROM emb WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT qs.qid, e.vec_id AS nid, qs.qv AS qv, e.q AS nv
+  FROM queries qs JOIN emb e ON e.vec_id <> qs.qid
+),
+ranked AS (
+  SELECT qid, nid, {dot} AS dot_q,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY {dot} DESC, nid) AS rn
+  FROM scored
+)
+SELECT qid, nid, CAST(rn AS BIGINT) AS rank, dot_q
+FROM ranked WHERE rn <= {KNN_K}"""
+
+
+def q_knn_cosine_topk(d: Dialect) -> str:
+    """get_nns_by_item, angular metric (annoylib.h:475-485): top-k by cosine
+    over quantized vectors (single division + sqrt on exact ints)."""
+    dot = d.int_dot("qv", "nv")
+    cos = _norm_cos(d, dot, "nq", "nn")
+    return f"""WITH {_emb_cte(d)},
+norms AS (
+  SELECT vec_id, q, {d.int_dot('q', 'q')} AS n2 FROM emb
+),
+queries AS (
+  SELECT vec_id AS qid, q AS qv, n2 AS nq FROM norms WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT qs.qid, e.vec_id AS nid, qs.qv AS qv, e.q AS nv, qs.nq AS nq, e.n2 AS nn
+  FROM queries qs JOIN norms e ON e.vec_id <> qs.qid
+),
+ranked AS (
+  SELECT qid, nid, {cos} AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY {cos} DESC, nid) AS rn
+  FROM scored
+)
+SELECT qid, nid, CAST(rn AS BIGINT) AS rank, cosine
+FROM ranked WHERE rn <= {KNN_K}"""
+
+
+def q_embedding_near_dup_pairs(d: Dialect) -> str:
+    """Embedding-cosine near-duplicate pairs over the planted-copy corpus."""
+    dot = d.int_dot("a.q", "b.q")
+    cos = _norm_cos(d, dot, "na.n2", "nb.n2")
+    return f"""WITH {_emb2_cte(d)},
+norms AS (
+  SELECT vec_id, {d.int_dot('q', 'q')} AS n2 FROM emb2
+)
+SELECT a.vec_id AS u, b.vec_id AS v, {cos} AS cosine
+FROM emb2 a
+JOIN emb2 b ON a.vec_id < b.vec_id
+JOIN norms na ON na.vec_id = a.vec_id
+JOIN norms nb ON nb.vec_id = b.vec_id
+WHERE na.n2 > 0 AND nb.n2 > 0 AND {cos} >= {COSINE_S}"""
+
+
+def q_lang_id(d: Dialect) -> str:
+    """Stopword-marker language heuristic (integer arithmetic only)."""
+    markers = ", ".join(f"'{w}'" for w in STOPWORDS)
+    filt = (
+        f"size(filter(t, x -> x IN ({markers})))" if d.name == "spark"
+        else f"len(list_filter(t, x -> x IN ({markers})))"
+    )
+    return f"""WITH {_corpus_cte(d)},
+toks AS (
+  SELECT doc_id, {d.tokens('text')} AS t FROM corpus
+),
+st AS (
+  SELECT doc_id, CAST({d.size('t')} AS BIGINT) AS n_tokens,
+         CAST({filt} AS BIGINT) AS marker_hits
+  FROM toks
+)
+SELECT doc_id, n_tokens, marker_hits,
+  CASE WHEN n_tokens = 0 THEN 'empty'
+       WHEN marker_hits * 5 >= n_tokens THEN 'en'
+       ELSE 'other' END AS lang_guess
+FROM st"""
+
+
+def q_text_quality(d: Dialect) -> str:
+    """Quality scoring: uniqueness / punctuation / length ratios."""
+    punct = f"length({d.regexp_replace_all('text', '[a-zA-Z0-9 ]', '')})"
+    return f"""WITH {_corpus_cte(d)},
+base AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST({punct} AS BIGINT) AS n_punct,
+    {d.tokens('text')} AS t
+  FROM corpus
+),
+st AS (
+  SELECT doc_id, n_chars, n_punct,
+    CAST({d.size('t')} AS BIGINT) AS n_tokens,
+    CAST({d.size(d.array_distinct('t'))} AS BIGINT) AS n_distinct
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_distinct,
+  CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+       ELSE CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS uniq_ratio,
+  CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+       ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio
+FROM st"""
+
+
+def q_token_stats(d: Dialect) -> str:
+    """Token counting: regex word tokens + BPE-ish piece count + char stats."""
+    if d.name == "spark":
+        pieces = "size(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0))"
+        tok_chars = ("aggregate(t, CAST(0 AS BIGINT), "
+                     "(acc, x) -> acc + length(x))")
+    else:
+        pieces = "len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))"
+        tok_chars = "CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)"
+    return f"""WITH {_corpus_cte(d)},
+base AS (
+  SELECT doc_id, text, {d.tokens('text')} AS t FROM corpus
+)
+SELECT doc_id,
+  CAST({d.size('t')} AS BIGINT) AS n_tokens,
+  CAST({pieces} AS BIGINT) AS n_pieces,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CASE WHEN {d.size('t')} = 0 THEN CAST(0 AS DOUBLE)
+       ELSE CAST({tok_chars} AS DOUBLE) / CAST({d.size('t')} AS DOUBLE)
+  END AS avg_token_chars
+FROM base"""
+
+
+def q_doc_fingerprint(d: Dialect) -> str:
+    """Bottom-8 sketch of shingle hashes (document fingerprint)."""
+    if d.name == "spark":
+        fp = ("array_join(transform(slice(array_sort(collect_list(h)), 1, 8), "
+              "x -> CAST(x AS STRING)), '_')")
+    else:
+        fp = "array_to_string(list_sort(list(h))[1:8], '_')"
+    return f"""WITH {_shingle_ctes(d)},
+hx AS (
+  SELECT doc_id, {d.hex2int('s', 8)} AS h FROM shx
+)
+SELECT doc_id, {fp} AS fingerprint FROM hx GROUP BY doc_id"""
+
+
+def _edges_prologue(d: Dialect) -> str:
+    """Shared CTE chain ending in an `edges` CTE of verified Jaccard pairs."""
+    cand = """SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS ni
+  FROM shx a JOIN shx b ON b.s = a.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id"""
+    return f"""{_shingle_ctes(d)},
+{_jaccard_ctes(d, cand)},
+edges AS (
+  SELECT u, v FROM scored WHERE jaccard >= {JACCARD_S}
+)"""
+
+
+def duplicate_clusters_edges_sql_spark() -> str:
+    """Spark-side edge list feeding the iterative CC operator."""
+    return f"WITH {_edges_prologue(SPARK)}\nSELECT u, v FROM edges"
+
+
+def duplicate_clusters_nodes_sql_spark() -> str:
+    return f"WITH {_corpus_cte(SPARK)}\nSELECT doc_id FROM corpus"
+
+
+def q_duplicate_clusters_duck() -> str:
+    """DuckDB oracle for connected components: recursive-CTE transitive
+    closure + min-label. The Spark side runs the iterative large-star /
+    small-star operator in annoy_spark.operators.cluster."""
+    return f"""WITH RECURSIVE {_edges_prologue(DUCK)},
+und AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+),
+reach(node, root) AS (
+  SELECT doc_id AS node, doc_id AS root FROM corpus
+  UNION
+  SELECT und.v AS node, reach.root AS root
+  FROM reach JOIN und ON und.u = reach.node
+)
+SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node"""
+
+
+# name -> (spark_sql, duck_sql); duplicate_clusters handled separately
+TEMPLATES = {
+    "sha_invariant": q_sha_invariant,
+    "exact_dup_groups": q_exact_dup_groups,
+    "exact_dup_pairs": q_exact_dup_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_signatures": q_minhash_signatures,
+    "band_groups": q_band_groups,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_signatures": q_simhash_signatures,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "pair_distances": q_pair_distances,
+    "knn_dot_topk": q_knn_dot_topk,
+    "knn_cosine_topk": q_knn_cosine_topk,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+
+def spark_sql_for(name: str) -> str:
+    return TEMPLATES[name](SPARK)
+
+
+def duck_sql_for(name: str) -> str:
+    return TEMPLATES[name](DUCK)
