@@ -35,14 +35,18 @@ class DedupConfig:
 
     # verification thresholds (exact re-rank; src/annoylib.h:1492-1494)
     jaccard_s: float = 0.80
+    # the hamming path needs enough shingles for the majority vote to be
+    # meaningful (estimator variance ~ 1/n_shingles)
+    simhash_min_shingles: int = 16
 
     # suffix-array exact-substring pass
     min_substring_len: int = 2000  # chars
     substring_chunk: int = 64      # fingerprint chunk length (chars)
 
     # skew defense (Annoy imbalance fallback analog; src/annoylib.h:1337-1425)
-    band_group_cap: int = 1000     # max members per band group before salting
-    salt_buckets: int = 16
+    pair_enum_cap: int = 64        # full O(g^2) pair enumeration up to here
+    band_group_cap: int = 1000     # star enumeration up to here; beyond:
+    salt_buckets: int = 16         # skipped + accounted in lineage
 
     # connected components
     cc_max_iters: int = 50

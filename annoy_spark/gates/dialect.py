@@ -20,9 +20,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-# Mersenne prime 2^61-1: (a*h+b) % P with a < 2^29, h < 2^32, b < 2^32
-# keeps every intermediate < 2^62 — no int64 overflow in either engine.
-MERSENNE_P = (1 << 61) - 1
+# Mersenne prime 2^31-1: the minhash modulus must sit just above the reduced
+# hash domain so (a*h+b) mod P wraps many times and actually permutes the
+# domain (a too-large modulus is monotonic in h — broken minhash). With
+# a, b, h < 2^31 every intermediate stays < 2^62 — no int64 overflow in
+# either engine.
+MERSENNE_P = (1 << 31) - 1
 
 
 @dataclass(frozen=True)

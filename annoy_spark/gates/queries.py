@@ -44,8 +44,9 @@ def _h32(s: str) -> int:
 
 # MinHash permutation coefficients, derived from the seed exactly like Annoy
 # derives per-thread RNG streams from one seed (annoylib.h:1256-1262).
-MINHASH_A = [(_h32(f"a{i}:{SEED}") % ((1 << 29) - 1)) + 1 for i in range(GATE_N_PERM)]
-MINHASH_B = [_h32(f"b{i}:{SEED}") for i in range(GATE_N_PERM)]
+# a, b < P = 2^31-1 (see dialect.MERSENNE_P for why the modulus is small).
+MINHASH_A = [(_h32(f"a{i}:{SEED}") % (MERSENNE_P - 1)) + 1 for i in range(GATE_N_PERM)]
+MINHASH_B = [_h32(f"b{i}:{SEED}") % MERSENNE_P for i in range(GATE_N_PERM)]
 
 
 # --------------------------------------------------------------------------
@@ -84,7 +85,8 @@ sizes AS (
 
 def _minhash_ctes(d: Dialect) -> str:
     mins = ",\n    ".join(
-        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MERSENNE_P}) AS m{i}"
+        f"min(({MINHASH_A[i]} * (h % {MERSENNE_P}) + {MINHASH_B[i]})"
+        f" % {MERSENNE_P}) AS m{i}"
         for i in range(GATE_N_PERM)
     )
     band_selects = []

@@ -1,0 +1,97 @@
+"""BAND stage: signatures -> candidate edges (+ exact-dup edges).
+
+The analog of Annoy's forest traversal candidate generation
+(/root/reference/src/annoylib.h:1447-1480): items sharing a band key are
+candidates, exactly as items sharing a leaf in >= 1 tree are. The skew
+defenses mirror Annoy's split-imbalance fallback (annoylib.h:1337-1425):
+
+1. sha256 pre-collapse — byte-identical files contribute ONE representative
+   to LSH (their edges are emitted directly), so boilerplate mega-groups
+   cost O(g) instead of O(g^2);
+2. tiered enumeration — small groups (<= cfg.pair_enum_cap) enumerate all
+   pairs (full verified-edge recall); medium groups enumerate star edges to
+   the group minimum only (O(g), clusters restored by CC); groups larger
+   than cfg.band_group_cap are excluded and *accounted* (skipped_groups for
+   the lineage table) — capped recall loss is measured, never silent
+   (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from annoy_spark.config import DedupConfig
+
+
+def exact_edges(signatures: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(representatives, exact_dup_edges): collapse byte-identical files.
+
+    representatives: one row per distinct content_sha (min file_id wins).
+    exact_dup_edges: (u=rep, v=member) for every non-representative member —
+    star edges; CC expands them to full clusters.
+    """
+    reps = (
+        signatures.groupBy("content_sha")
+        .agg(F.min("file_id").alias("rep_id"))
+    )
+    with_rep = signatures.join(reps, "content_sha")
+    edges = (
+        with_rep.where(F.col("file_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("u"), F.col("file_id").alias("v"))
+    )
+    representatives = with_rep.where(
+        F.col("file_id") == F.col("rep_id")
+    ).drop("rep_id")
+    return representatives, edges
+
+
+def candidate_edges(
+    representatives: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate_pairs, skipped_groups) from banded signatures.
+
+    candidate_pairs: distinct (u < v) file-id pairs sharing >= 1 band key.
+    skipped_groups: (band_idx, band_key, n_members) for capped groups.
+    """
+    bands = (
+        representatives.where(F.col("n_shingles") >= 1)
+        .select("file_id", F.posexplode("band_keys").alias("band_idx", "band_key"))
+    )
+
+    # one shuffle: per-group min (the star center) + size, map-side combined
+    groups = bands.groupBy("band_idx", "band_key").agg(
+        F.min("file_id").alias("gmin"),
+        F.count(F.lit(1)).alias("gsize"),
+    )
+    skipped = groups.where(F.col("gsize") > cfg.band_group_cap).select(
+        "band_idx", "band_key", F.col("gsize").alias("n_members")
+    )
+
+    # tier 1: full pair enumeration inside small groups (self-join)
+    small = groups.where(
+        (F.col("gsize") > 1) & (F.col("gsize") <= cfg.pair_enum_cap)
+    ).select("band_idx", "band_key")
+    in_small = bands.join(small, ["band_idx", "band_key"])
+    full_pairs = (
+        in_small.alias("a")
+        .join(
+            in_small.alias("b"),
+            ["band_idx", "band_key"],
+        )
+        .where(F.col("a.file_id") < F.col("b.file_id"))
+        .select(F.col("a.file_id").alias("u"), F.col("b.file_id").alias("v"))
+    )
+
+    # tier 2: star edges to the group min inside medium groups
+    medium = groups.where(
+        (F.col("gsize") > cfg.pair_enum_cap)
+        & (F.col("gsize") <= cfg.band_group_cap)
+    ).select("band_idx", "band_key", "gmin")
+    star_pairs = (
+        bands.join(medium, ["band_idx", "band_key"])
+        .where(F.col("file_id") != F.col("gmin"))
+        .select(F.col("gmin").alias("u"), F.col("file_id").alias("v"))
+    )
+
+    pairs = full_pairs.unionByName(star_pairs).distinct()
+    return pairs, skipped

@@ -1,0 +1,110 @@
+"""VERIFY stage: candidate edges -> verified duplicate edges.
+
+Annoy's exact re-rank semantics (/root/reference/src/annoylib.h:1492-1494):
+the LSH structure only *proposes* candidates; the true metric *decides*.
+For every candidate pair we compute
+
+- exact shingle-set Jaccard (np.intersect1d over the sorted distinct
+  shingle-hash arrays — integer-exact, the euclidean-cancellation lesson of
+  annoy #314 applied: never estimate what you can count), and
+- exact SimHash Hamming distance (bit_count of XORed packed words, JVM-side
+  — annoylib.h:736-743's popcount in whole-stage codegen).
+
+A pair passes if jaccard >= cfg.jaccard_s OR hamming <= cfg.hamming_t.
+
+Scale notes: the two joins below move only (file_id, shingle_hashes,
+simhash) for *candidate* files — never content. Edge keys are near-unique
+so the joins shuffle evenly; AQE skew-join covers pathological hubs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+from annoy_spark.config import DedupConfig
+
+
+@F.pandas_udf(DoubleType())
+def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact Jaccard between two distinct-int64 arrays per row.
+
+    Fully vectorized over the batch: both sides are flattened with row
+    labels, lexsorted once, and intersections counted as adjacent
+    duplicates (each side is distinct, so a value occurs <= 2x per row).
+    """
+    n = len(a)
+    la = np.fromiter((len(x) for x in a), np.int64, n)
+    lb = np.fromiter((len(x) for x in b), np.int64, n)
+    tot = la + lb
+    out = np.zeros(n, dtype=np.float64)
+    if tot.sum():
+        chunks = []
+        for x, y in zip(a, b):
+            chunks.append(np.asarray(x, dtype=np.int64))
+            chunks.append(np.asarray(y, dtype=np.int64))
+        flat = np.concatenate(chunks)
+        labels = np.repeat(np.arange(n, dtype=np.int64), tot)
+        order = np.lexsort((flat, labels))
+        sf, sl = flat[order], labels[order]
+        dup = (sf[1:] == sf[:-1]) & (sl[1:] == sl[:-1])
+        ni = np.bincount(sl[1:][dup], minlength=n).astype(np.int64)
+        valid = (la > 0) & (lb > 0)
+        union = tot - ni
+        out[valid] = ni[valid] / union[valid]
+    return pd.Series(out)
+
+
+def hamming_col(a: str, b: str, words: int) -> F.Column:
+    """Exact Hamming distance between packed int64 signature arrays (JVM)."""
+    total = F.lit(0)
+    for w in range(1, words + 1):
+        total = total + F.bit_count(
+            F.element_at(F.col(a), w).bitwiseXOR(F.element_at(F.col(b), w))
+        )
+    return total.cast("long")
+
+
+def verify(
+    candidates: DataFrame, signatures: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Verified edges: (u, v, jaccard, hamming) for passing pairs."""
+    sig = signatures.select("file_id", "shingle_hashes", "simhash", "n_shingles")
+
+    joined = (
+        candidates.join(
+            sig.select(
+                F.col("file_id").alias("u"),
+                F.col("shingle_hashes").alias("sh_u"),
+                F.col("simhash").alias("sim_u"),
+                F.col("n_shingles").alias("ns_u"),
+            ),
+            "u",
+        ).join(
+            sig.select(
+                F.col("file_id").alias("v"),
+                F.col("shingle_hashes").alias("sh_v"),
+                F.col("simhash").alias("sim_v"),
+                F.col("n_shingles").alias("ns_v"),
+            ),
+            "v",
+        )
+    )
+    scored = joined.select(
+        "u",
+        "v",
+        jaccard_udf(F.col("sh_u"), F.col("sh_v")).alias("jaccard"),
+        hamming_col("sim_u", "sim_v", cfg.simhash_words).alias("hamming"),
+        F.least("ns_u", "ns_v").alias("min_shingles"),
+    )
+    # hamming path gated on enough shingles: the majority-vote estimator is
+    # noise below ~cfg.simhash_min_shingles elements (small docs collide)
+    return scored.select("u", "v", "jaccard", "hamming").where(
+        (F.col("jaccard") >= F.lit(cfg.jaccard_s))
+        | (
+            (F.col("hamming") <= F.lit(cfg.hamming_t))
+            & (F.col("min_shingles") >= F.lit(cfg.simhash_min_shingles))
+        )
+    )

