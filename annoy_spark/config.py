@@ -39,7 +39,8 @@ class DedupConfig:
     # meaningful (estimator variance ~ 1/n_shingles)
     simhash_min_shingles: int = 16
 
-    # suffix-array exact-substring pass
+    # exact-substring pass (winnowing fingerprints + exact extension)
+    enable_substring: bool = True
     min_substring_len: int = 2000  # chars
     substring_chunk: int = 64      # fingerprint chunk length (chars)
 

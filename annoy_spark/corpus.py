@@ -108,18 +108,23 @@ def _row(seed: int, i: int, n_total: int, vocab: np.ndarray) -> dict:
             rng.integers(0, len(vocab), size=min(span, len(toks) - start))
         ]
     elif cls == CLASS_SUBSTRING:
-        # unique content with a long verbatim block from the base embedded
-        own = _base_tokens(seed, i + n_total, vocab)
-        blk = _base_tokens(seed, base, vocab)
-        blk = blk[: max(len(blk) // 2, 60)]
-        cut = int(rng.integers(0, len(own)))
-        toks = np.concatenate([own[:cut], blk, own[cut:]])
+        toks = _base_tokens(seed, i + n_total, vocab)  # own unique stream
     else:  # boilerplate: shared header on otherwise-unique content
         toks = _base_tokens(seed, i + 2 * n_total, vocab)
         base = i
 
     lang = LANGS[int(_rng(seed, 0x1A46, base).integers(0, len(LANGS)))]
     content = _render(toks, lang)
+    if cls == CLASS_SUBSTRING:
+        # splice a verbatim CHAR-level block of the base's rendered text
+        # (token-level splicing would re-wrap lines and break verbatimness);
+        # block length ~2.2-4x min_substring_len chars
+        base_text = _render(_base_tokens(seed, base, vocab), lang)
+        blk_len = int(2200 + 1800 * rng.random())
+        blk = (base_text * (blk_len // max(len(base_text), 1) + 1))[:blk_len] \
+            if len(base_text) < blk_len else base_text[:blk_len]
+        cut = int(rng.integers(0, len(content) + 1))
+        content = content[:cut] + "\n" + blk + "\n" + content[cut:]
     if cls == CLASS_BOILERPLATE:
         content = _BOILERPLATE + content
 

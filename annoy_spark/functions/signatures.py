@@ -54,19 +54,12 @@ def tokens_col(content: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != F.lit(""))
 
 
-def shingles_col(toks: Column, k: int) -> Column:
-    """Distinct k-token shingles; short docs collapse to one shingle."""
-    whole = F.array(F.concat_ws(" ", toks))
-    windows = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.array_distinct(F.when(F.size(toks) >= k, windows).otherwise(whole))
-
-
-def shingle_hashes_col(shingles: Column) -> Column:
-    """xxhash64 per shingle (JVM, codegen) -> array<long>."""
-    return F.transform(shingles, lambda s: F.xxhash64(s))
+def token_hashes_col(toks: Column) -> Column:
+    """xxhash64 per token -> array<long>. The only higher-order lambda in
+    the hot path (HOFs are interpreted, not codegen'd — string shingle
+    construction in the JVM was ~100x slower; shingling happens on these
+    int64s inside the Arrow UDF instead)."""
+    return F.transform(toks, lambda t: F.xxhash64(t))
 
 
 def band_keys_col(minhash: Column, cfg: DedupConfig) -> Column:
@@ -83,8 +76,64 @@ def band_keys_col(minhash: Column, cfg: DedupConfig) -> Column:
 
 
 # --------------------------------------------------------------------------
-# Arrow-vectorized signature reductions
+# Arrow-vectorized shingling + signature reductions
 # --------------------------------------------------------------------------
+
+# position-mixing constants for rolling shingle hashes (odd => invertible)
+def _shingle_coeffs(k: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng([seed, 0x5817])
+    return rng.integers(1, 1 << 63, size=k, dtype=np.uint64) | np.uint64(1)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """murmur3 finalizer — decorrelates the linear combination."""
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def shingle_hash_batch(
+    tok_hashes: pd.Series, k: int, seed: int
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Per row: distinct hashes of k-token windows (order-sensitive mix).
+
+    Shingle identity = the token-hash window, so two documents produce the
+    same shingle hash iff their k-token windows match (64-bit collisions
+    aside) — identical semantics to distinct string shingles. Vectorized:
+    the whole batch is flattened once; window hashes come from k shifted
+    multiplies; per-row windows are cut from the flat array by offsets.
+    Rows shorter than k collapse to ONE shingle over their tokens.
+    """
+    flat, offsets, lens = _flatten(tok_hashes)
+    coeffs = _shingle_coeffs(k, seed)
+    n = len(tok_hashes)
+    out: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+    if len(flat):
+        acc = np.zeros(len(flat), dtype=np.uint64)
+        for j in range(k):
+            # acc[i] += h[i+j] * c[j]  (uint64 wraparound)
+            acc[: len(flat) - j] += flat[j:] * coeffs[j]
+        mixed = _mix64(acc)
+    ends = offsets + lens
+    for i in range(n):
+        ln = lens[i]
+        if ln == 0:
+            out[i] = np.empty(0, dtype=np.int64)
+        elif ln < k:
+            # one shingle over all tokens: same linear form, shorter window
+            v = np.uint64(0)
+            for j in range(ln):
+                v += flat[offsets[i] + j] * coeffs[j]
+            out[i] = np.unique(_mix64(np.array([v], dtype=np.uint64))).view(np.int64)
+        else:
+            w = mixed[offsets[i] : ends[i] - (k - 1)]
+            out[i] = np.unique(w).view(np.int64)
+    return out, lens
+
 
 def _flatten(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Ragged array<long> series -> (flat uint64, row offsets, row lengths)."""
@@ -96,23 +145,58 @@ def _flatten(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return flat.view(np.uint64), offsets, lens
 
 
+# shingles per cache block: 32k * 8B = 256KB working set (L2-resident)
+_CHUNK = 32768
+
+
+def _row_chunks(offsets: np.ndarray, lens: np.ndarray, nz: np.ndarray):
+    """Yield (row_start, row_end, flat_lo, flat_hi) over nonzero rows such
+    that each chunk covers whole rows and ~<= _CHUNK flat elements."""
+    i, n = 0, len(nz)
+    while i < n:
+        lo = offsets[nz[i]]
+        j = i
+        hi = lo
+        while j < n and (hi - lo) < _CHUNK:
+            hi = offsets[nz[j]] + lens[nz[j]]
+            j += 1
+        yield i, j, int(lo), int(hi)
+        i = j
+
+
 def minhash_batch(hashes: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
     """MinHash signatures for a batch: min_i((a_p * h_i + b_p) mod P) per perm.
 
     One vectorized pass per permutation over the *flattened* batch with
-    np.minimum.reduceat — no per-row Python loop.
+    np.minimum.reduceat — no per-row Python loop. All passes reuse ONE
+    scratch buffer (out=) — ephemeral 100MB-scale allocations across 32
+    concurrent workers turn into kernel-side mmap/TLB storms (measured:
+    96% sys time, 3x anti-scaling).
     """
     flat, offsets, lens = _flatten(hashes)
     n_rows, n_perm = len(hashes), len(a)
     out = np.full((n_rows, n_perm), np.int64(np.iinfo(np.int64).max), dtype=np.int64)
     if len(flat):
         # reduce into [0, P): a*h < 2^62 fits uint64 exactly
-        hp = (flat & np.uint64(0x7FFFFFFF)) % MERSENNE_P
-        nonzero = lens > 0
-        for p in range(n_perm):
-            v = (a[p] * hp + b[p]) % MERSENNE_P
-            mins = np.minimum.reduceat(v, offsets[nonzero])
-            out[nonzero, p] = mins.astype(np.int64)
+        hp = flat & np.uint64(0x7FFFFFFF)
+        np.mod(hp, MERSENNE_P, out=hp)
+        nz = np.flatnonzero(lens)
+        buf = np.empty(_CHUNK + 1, dtype=np.uint64)
+        # cache blocking: the 128-perm loop runs over an L2-resident slice —
+        # streaming the whole batch per perm is DRAM-bandwidth-bound and
+        # stops scaling past ~8 cores (measured)
+        for rs, re_, lo, hi in _row_chunks(offsets, lens, nz):
+            seg = hp[lo:hi]
+            if len(seg) > len(buf):  # one oversized row can exceed _CHUNK
+                buf = np.empty(len(seg), dtype=np.uint64)
+            sbuf = buf[: len(seg)]
+            soff = offsets[nz[rs:re_]] - lo
+            rows_idx = nz[rs:re_]
+            for p in range(n_perm):
+                np.multiply(seg, a[p], out=sbuf)
+                np.add(sbuf, b[p], out=sbuf)
+                np.mod(sbuf, MERSENNE_P, out=sbuf)
+                out[rows_idx, p] = np.minimum.reduceat(sbuf, soff)
     return pd.Series(list(out))
 
 
@@ -132,35 +216,67 @@ def simhash_batch(hashes: pd.Series, bits: int, seed: int) -> pd.Series:
         rng = np.random.default_rng([seed, 0x51AA])
         muls = rng.integers(1, 1 << 63, size=words, dtype=np.uint64) | np.uint64(1)
         adds = rng.integers(0, 1 << 63, size=words, dtype=np.uint64)
-        nonzero = lens > 0
-        nz_lens = lens[nonzero]
-        for w in range(words):
-            hw = flat * muls[w] + adds[w]          # uint64 wraparound mix
-            hw ^= hw >> np.uint64(33)
-            hw *= np.uint64(0xFF51AFD7ED558CCD)
-            hw ^= hw >> np.uint64(33)
-            bits_mat = np.unpackbits(
-                hw.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-            )                                       # (n_shingles, 64) of 0/1
-            sums = np.add.reduceat(bits_mat, offsets[nonzero], axis=0)
-            majority = (2 * sums) > nz_lens[:, None]
-            packed = np.packbits(
-                majority.astype(np.uint8), axis=1, bitorder="little"
-            ).view(np.uint64)                       # (n_nonzero, 1)
-            out[nonzero, w] = packed[:, 0]
+        nz = np.flatnonzero(lens)
+        one = np.uint64(1)
+        hw = np.empty(_CHUNK + 1, dtype=np.uint64)
+        tmp = np.empty(_CHUNK + 1, dtype=np.uint64)
+        # scratch buffers reused + cache blocking — see minhash_batch
+        for rs, re_, lo, hi in _row_chunks(offsets, lens, nz):
+            seg = flat[lo:hi]
+            if len(seg) > len(hw):
+                hw = np.empty(len(seg), dtype=np.uint64)
+                tmp = np.empty(len(seg), dtype=np.uint64)
+            shw, stmp = hw[: len(seg)], tmp[: len(seg)]
+            rows_idx = nz[rs:re_]
+            soff = offsets[rows_idx] - lo
+            slens = lens[rows_idx]
+            for w in range(words):
+                np.multiply(seg, muls[w], out=shw)  # uint64 wraparound mix
+                np.add(shw, adds[w], out=shw)
+                np.right_shift(shw, np.uint64(33), out=stmp)
+                np.bitwise_xor(shw, stmp, out=shw)
+                np.multiply(shw, np.uint64(0xFF51AFD7ED558CCD), out=shw)
+                np.right_shift(shw, np.uint64(33), out=stmp)
+                np.bitwise_xor(shw, stmp, out=shw)
+                word = np.zeros(len(rows_idx), dtype=np.uint64)
+                for j in range(64):
+                    np.right_shift(shw, np.uint64(j), out=stmp)
+                    np.bitwise_and(stmp, one, out=stmp)
+                    sums = np.add.reduceat(stmp, soff)
+                    word |= (2 * sums > slens).astype(np.uint64) << np.uint64(j)
+                out[rows_idx, w] = word
     return pd.Series(list(out.view(np.int64)))
 
 
-def make_signature_udfs(cfg: DedupConfig):
-    """Build the two pandas UDFs bound to this config."""
+def make_sign_udf(cfg: DedupConfig):
+    """One combined pandas UDF: token hashes -> (n_shingles, shingle_hashes,
+    minhash, simhash). A single Arrow transfer per batch; all shingling and
+    both signature reductions happen in numpy."""
+    from pyspark.sql.types import StructField, StructType
+
     a, b = minhash_coeffs(cfg)
+    schema = StructType(
+        [
+            StructField("n_shingles", LongType()),
+            StructField("shingle_hashes", ArrayType(LongType())),
+            StructField("minhash", ArrayType(LongType())),
+            StructField("simhash", ArrayType(LongType())),
+        ]
+    )
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def minhash_udf(hashes: pd.Series) -> pd.Series:
-        return minhash_batch(hashes, a, b)
+    @F.pandas_udf(schema)
+    def sign_udf(tok_hashes: pd.Series) -> pd.DataFrame:
+        shingles, _ = shingle_hash_batch(tok_hashes, cfg.shingle_k, cfg.seed)
+        sh_series = pd.Series(shingles)
+        mh = minhash_batch(sh_series, a, b)
+        sim = simhash_batch(sh_series, cfg.simhash_bits, cfg.seed)
+        return pd.DataFrame(
+            {
+                "n_shingles": [len(s) for s in shingles],
+                "shingle_hashes": shingles,
+                "minhash": mh,
+                "simhash": sim,
+            }
+        )
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def simhash_udf(hashes: pd.Series) -> pd.Series:
-        return simhash_batch(hashes, cfg.simhash_bits, cfg.seed)
-
-    return minhash_udf, simhash_udf
+    return sign_udf

@@ -45,6 +45,23 @@ def exact_edges(signatures: DataFrame) -> tuple[DataFrame, DataFrame]:
     return representatives, edges
 
 
+def all_candidate_edges(
+    signatures: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """One stage: (edges with kind in ('exact','lsh'), skipped_groups).
+
+    Exact (sha-equal) star edges pass verification by construction; LSH
+    band-group edges still face the exact re-rank. Emitting both in one
+    DataFrame keeps the pipeline at one checkpoint per named artifact
+    (signatures / candidate_edges / clusters — the north rule's list)."""
+    representatives, ex_edges = exact_edges(signatures)
+    lsh, skipped = candidate_edges(representatives, cfg)
+    edges = ex_edges.select(
+        "u", "v", F.lit("exact").alias("kind")
+    ).unionByName(lsh.select("u", "v", F.lit("lsh").alias("kind")))
+    return edges, skipped
+
+
 def candidate_edges(
     representatives: DataFrame, cfg: DedupConfig
 ) -> tuple[DataFrame, DataFrame]:

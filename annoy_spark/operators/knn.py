@@ -1,0 +1,152 @@
+"""k-NN over embedding tables — Annoy's query operators, Spark-first.
+
+- get_nns_by_item / get_nns_by_vector (/root/reference/src/annoylib.h:
+  1228-1236) -> top-k joins over a (vec_id, embedding) DataFrame;
+- the forest candidate generator (annoylib.h:1447-1480) -> random-hyperplane
+  LSH bucketing: n_tables independent sign-bit keys, candidates = co-bucketed
+  rows in >= 1 table, exact re-rank on the candidates (annoylib.h:1492-1494).
+
+Brute force is the small/medium path (exact, one shuffle-free broadcast
+join); LSH is the 10^12-row path (bucket join, cost ~ bucket sizes, recall
+tunable by n_tables x n_bits exactly like n_trees x leaf size).
+
+Angular distance matches annoy: dist = sqrt(2 - 2*cos) (annoylib.h:475-517).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+import pandas as pd
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a) -> F.Column:
+    return _dot(a, a)
+
+
+def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize once (annoy Angular caches node norms, annoylib.h:483)."""
+    v = F.col(vec_col).cast("array<double>")
+    n = F.sqrt(_norm2(v))
+    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    return emb.withColumn("unit_vec", unit)
+
+
+def knn_bruteforce(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "angular",
+) -> DataFrame:
+    """Exact top-k: (qid, nid, rank, distance).
+
+    queries is expected small (broadcast side); items is the big relation —
+    the join is a broadcast nested loop, no shuffle of `items`.
+    """
+    it = with_unit_vectors(items, vec_col).select(
+        F.col(id_col).alias("nid"), F.col("unit_vec").alias("nv"),
+        F.col(vec_col).cast("array<double>").alias("nraw"),
+    )
+    qs = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("qid"), F.col("unit_vec").alias("qv"),
+        F.col(vec_col).cast("array<double>").alias("qraw"),
+    )
+    pairs = it.join(F.broadcast(qs), F.col("nid") != F.col("qid"))
+    if metric == "angular":
+        # annoy normalized angular distance: sqrt(max(2-2cos, 0))
+        d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
+    elif metric == "dot":
+        d = -_dot("qraw", "nraw")  # annoylib.h:656-659 (-dot, sorted asc)
+    elif metric == "euclidean":
+        diff = F.zip_with("qraw", "nraw", lambda x, y: x - y)
+        d = F.sqrt(F.greatest(F.lit(0.0), _norm2(diff)))
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    scored = pairs.select("qid", "nid", d.alias("distance"))
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_keys_udf(dim: int, n_tables: int, n_bits: int, seed: int):
+    """pandas UDF: embedding -> one LSH key per table (sign-bit pattern).
+
+    Exactly annoy's Angular create_split/side (annoylib.h:503-510, 491-501)
+    with data-independent Gaussian hyperplanes: key bit = sign(<r, x>).
+    """
+    rng = np.random.default_rng([seed, 0xA1A])
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    weights = np.power(2.0, np.arange(n_bits))  # bit-pack via dot with 2^i
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = np.einsum("nd,tbd->ntb", mat, planes)  # (n, tables, bits)
+        bits = proj > 0
+        packed = bits @ weights  # (n, tables) float -> exact ints < 2^n_bits
+        out = packed.astype(np.int64)
+        out += np.arange(n_tables, dtype=np.int64) * (1 << n_bits)
+        return pd.Series(list(out))
+
+    return keys
+
+
+def knn_lsh(
+    items: DataFrame,
+    k: int,
+    n_tables: int = 8,
+    n_bits: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-items approximate top-k by angular distance: (qid, nid, rank,
+    distance). Candidates = pairs sharing >= 1 hyperplane bucket; exact
+    re-rank on candidates only (annoy semantics: trees propose, the true
+    metric decides)."""
+    dim = len(items.select(vec_col).first()[0])
+    keys = hyperplane_keys_udf(dim, n_tables, n_bits, seed)
+
+    base = with_unit_vectors(items, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("unit_vec"),
+        keys(F.col(vec_col).cast("array<double>")).alias("keys"),
+    )
+    buckets = base.select(
+        "id", "unit_vec", F.explode("keys").alias("bucket")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "bucket")
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("qid"),
+            F.col("b.id").alias("nid"),
+            F.col("a.unit_vec").alias("qv"),
+            F.col("b.unit_vec").alias("nv"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
+    scored = cand.select("qid", "nid", d.alias("distance"))
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,274 @@
+"""SUBSTRING pass: exact long verbatim-substring duplicate pairs.
+
+Finds file pairs sharing a verbatim block >= cfg.min_substring_len chars
+even when whole-file Jaccard is far below threshold (SURVEY.md §2.4) — the
+capability Annoy's whole-vector metrics cannot express.
+
+Distributed design (replaces a monolithic suffix array, which cannot be
+built across executors without an all-to-all of the corpus):
+
+1. WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+   algorithm): rolling 64-bit polynomial hash of every `chunk`-byte gram,
+   then the minimum hash of every `window` consecutive grams is selected.
+   Deterministic guarantee: any common substring of length
+   >= window + chunk - 1 (= min_substring_len) shares a selected
+   fingerprint, regardless of alignment. Fully vectorized (prefix-product
+   rolling hash + block prefix/suffix minima), ~2·len/window fingerprints
+   per file.
+2. Fingerprint groupBy -> anchor pairs (same tiered skew ladder as banding).
+3. EXACT verification: join the pair's contents, extend the anchor left and
+   right byte-by-byte (vectorized mismatch scan); pass iff the real match
+   length >= min_substring_len. Anchors are real text matches, so hash
+   collisions only cost a failed verification — never a false positive
+   (Annoy's exact re-rank contract, annoylib.h:1492-1494).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (ArrayType, LongType, StructField, StructType)
+
+from annoy_spark.config import DedupConfig
+
+_B = np.uint64(0x100000001B3)  # odd => invertible mod 2^64
+_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def rolling_gram_hashes(data: np.ndarray, c: int) -> np.ndarray:
+    """64-bit polynomial hashes of every c-byte gram (len(data)-c+1 values).
+
+    h(i) = sum_j data[i+j] * B^(c-1-j) mod 2^64, computed via prefix sums of
+    data[j]*B^(-j) — one pass, no per-gram loop."""
+    n = len(data)
+    if n < c:
+        return np.empty(0, dtype=np.uint64)
+    idx = np.arange(n, dtype=np.uint64)
+    binv_pow = np.full(n, _BINV, dtype=np.uint64)
+    binv_pow[0] = np.uint64(1)
+    np.cumprod(binv_pow, out=binv_pow)            # B^-j
+    b_pow = np.full(n, _B, dtype=np.uint64)
+    b_pow[0] = np.uint64(1)
+    np.cumprod(b_pow, out=b_pow)                  # B^j
+    v = data.astype(np.uint64) * binv_pow
+    t = np.concatenate(([np.uint64(0)], np.cumsum(v, dtype=np.uint64)))
+    # window sum * B^(i+c-1)
+    return (t[c:] - t[: n - c + 1]) * b_pow[c - 1 :]
+
+
+def _sliding(arr: np.ndarray, w: int, ufunc, fill) -> np.ndarray:
+    """ext[i] = ufunc over arr[i:i+w], i in [0, len-w] — O(n) block trick:
+    window extremum = ufunc(suffix-acc of left block, prefix-acc of right)."""
+    n = len(arr)
+    pad = (-n) % w
+    hp = np.concatenate([arr, np.full(pad, fill, dtype=arr.dtype)])
+    blocks = hp.reshape(-1, w)
+    pref = ufunc.accumulate(blocks, axis=1).ravel()[:n]
+    suff = ufunc.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()[:n]
+    starts = np.arange(0, n - w + 1)
+    return ufunc(suff[starts], pref[starts + w - 1])
+
+
+def winnow(hashes: np.ndarray, w: int) -> np.ndarray:
+    """Positions whose hash is the minimum of at least one w-gram window
+    (superset of classic winnowing's canonical choice — same guarantee:
+    every w-window contributes its min, so any common substring covering a
+    full window yields a shared selected gram in both files; O(n)).
+    """
+    n = len(hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n <= w:
+        return np.flatnonzero(hashes == hashes.min())
+    top = np.uint64(0xFFFFFFFFFFFFFFFF)
+    wmin = _sliding(hashes, w, np.minimum, top)          # len n-w+1
+    # selected[i] <=> h[i] == min of SOME window covering i
+    #            <=> h[i] == max over wmin[i-w+1 .. i]   (window mins <= h[i])
+    zero = np.uint64(0)
+    padded = np.concatenate(
+        [np.full(w - 1, zero), wmin, np.full(w - 1, zero)]
+    )
+    cover_max = _sliding(padded, w, np.maximum, zero)     # len n
+    return np.flatnonzero(hashes == cover_max)
+
+
+def fingerprint_positions(
+    text: str, chunk: int, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, positions) of winnowed fingerprints for one document."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    grams = rolling_gram_hashes(data, chunk)
+    if len(grams) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    mixed = _mix64(grams)
+    pos = winnow(mixed, window)
+    h = mixed[pos].view(np.int64)
+    # dedupe identical hashes within a doc, keep first position as anchor
+    uniq, first = np.unique(h, return_index=True)
+    return uniq, pos[first]
+
+
+def make_fingerprint_udf(cfg: DedupConfig):
+    window = max(cfg.min_substring_len - cfg.substring_chunk + 1, 16)
+    schema = StructType(
+        [
+            StructField("fp", ArrayType(LongType())),
+            StructField("fp_pos", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def fp_udf(texts: pd.Series) -> pd.DataFrame:
+        hs, ps = [], []
+        for t in texts:
+            h, p = fingerprint_positions(
+                t or "", cfg.substring_chunk, window
+            )
+            hs.append(h)
+            ps.append(p.astype(np.int64))
+        return pd.DataFrame({"fp": hs, "fp_pos": ps})
+
+    return fp_udf
+
+
+_EXTEND_SCHEMA = "u long, v long, match_len long"
+
+
+def make_extend_verifier(cfg: DedupConfig):
+    min_len = cfg.min_substring_len
+    chunk = cfg.substring_chunk
+
+    def verify_batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = np.frombuffer(r.content_u.encode("utf-8"), dtype=np.uint8)
+                b = np.frombuffer(r.content_v.encode("utf-8"), dtype=np.uint8)
+                best = 0
+                for pu, pv in zip(r.pos_u, r.pos_v):
+                    pu, pv = int(pu), int(pv)
+                    if pu >= len(a) or pv >= len(b):
+                        continue
+                    # right extension (includes the anchor gram)
+                    m = min(len(a) - pu, len(b) - pv)
+                    seg = a[pu : pu + m] != b[pv : pv + m]
+                    right = int(np.argmax(seg)) if seg.any() else m
+                    # left extension
+                    m2 = min(pu, pv)
+                    if m2:
+                        seg2 = a[pu - m2 : pu][::-1] != b[pv - m2 : pv][::-1]
+                        left = int(np.argmax(seg2)) if seg2.any() else m2
+                    else:
+                        left = 0
+                    best = max(best, left + right)
+                    if best >= min_len:
+                        break
+                if best >= min_len:
+                    rows.append((r.u, r.v, best))
+            yield pd.DataFrame(rows, columns=["u", "v", "match_len"])
+
+    return verify_batch
+
+
+def substring_edges(
+    corpus_with_ids: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """(u, v, match_len) pairs sharing a verbatim block >= min_substring_len.
+
+    corpus_with_ids: (file_id, content) — pass sha-collapsed representatives
+    to keep fingerprint groups free of exact-duplicate blowup."""
+    fp_udf = make_fingerprint_udf(cfg)
+
+    fps = (
+        corpus_with_ids.select(
+            "file_id", fp_udf(F.col("content")).alias("f")
+        )
+        .select("file_id", F.arrays_zip("f.fp", "f.fp_pos").alias("z"))
+        .select("file_id", F.explode("z").alias("e"))
+        .select(
+            "file_id",
+            F.col("e.fp").alias("fp"),
+            F.col("e.fp_pos").alias("pos"),
+        )
+    )
+
+    groups = fps.groupBy("fp").agg(
+        F.min("file_id").alias("gmin"), F.count(F.lit(1)).alias("gsize")
+    )
+    # tiered enumeration (same skew ladder as banding)
+    small = groups.where(
+        (F.col("gsize") > 1) & (F.col("gsize") <= cfg.pair_enum_cap)
+    ).select("fp")
+    in_small = fps.join(small, "fp")
+    full_pairs = (
+        in_small.alias("a")
+        .join(in_small.alias("b"), "fp")
+        .where(F.col("a.file_id") < F.col("b.file_id"))
+        .select(
+            F.col("a.file_id").alias("u"),
+            F.col("b.file_id").alias("v"),
+            F.col("a.pos").alias("pu"),
+            F.col("b.pos").alias("pv"),
+        )
+    )
+    medium = groups.where(
+        (F.col("gsize") > cfg.pair_enum_cap)
+        & (F.col("gsize") <= cfg.band_group_cap)
+    ).select("fp", "gmin")
+    center_pos = fps.select(
+        F.col("fp").alias("cfp"),
+        F.col("file_id").alias("gm"),
+        F.col("pos").alias("gpos"),
+    )
+    star_pairs = (
+        fps.join(medium, "fp")
+        .where(F.col("file_id") != F.col("gmin"))
+        .join(
+            center_pos,
+            (F.col("fp") == F.col("cfp")) & (F.col("gmin") == F.col("gm")),
+        )
+        .select(
+            F.least("gmin", "file_id").alias("u"),
+            F.greatest("gmin", "file_id").alias("v"),
+            F.when(F.col("gmin") < F.col("file_id"), F.col("gpos"))
+            .otherwise(F.col("pos")).alias("pu"),
+            F.when(F.col("gmin") < F.col("file_id"), F.col("pos"))
+            .otherwise(F.col("gpos")).alias("pv"),
+        )
+    )
+    pairs = full_pairs.unionByName(star_pairs)
+
+    # up to 8 anchors per pair (a failed anchor must not hide a longer match)
+    w = Window.partitionBy("u", "v").orderBy("pu", "pv")
+    anchored = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 8)
+        .groupBy("u", "v")
+        .agg(
+            F.collect_list("pu").alias("pos_u"),
+            F.collect_list("pv").alias("pos_v"),
+        )
+    )
+
+    content = corpus_with_ids.select("file_id", "content")
+    joined = (
+        anchored.join(
+            content.select(F.col("file_id").alias("u"),
+                           F.col("content").alias("content_u")), "u"
+        ).join(
+            content.select(F.col("file_id").alias("v"),
+                           F.col("content").alias("content_v")), "v"
+        )
+    )
+    return joined.mapInPandas(make_extend_verifier(cfg), schema=_EXTEND_SCHEMA)

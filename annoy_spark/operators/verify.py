@@ -57,6 +57,12 @@ def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# deterministic in fact, but marked otherwise so Catalyst neither duplicates
+# the UDF across Filter+Project nor pushes filters through it (the collapsed
+# plan evaluated jaccard twice per row)
+jaccard_udf = jaccard_udf.asNondeterministic()
+
+
 def hamming_col(a: str, b: str, words: int) -> F.Column:
     """Exact Hamming distance between packed int64 signature arrays (JVM)."""
     total = F.lit(0)
@@ -68,29 +74,50 @@ def hamming_col(a: str, b: str, words: int) -> F.Column:
 
 
 def verify(
-    candidates: DataFrame, signatures: DataFrame, cfg: DedupConfig
+    candidates: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    small_candidates: bool = False,
 ) -> DataFrame:
-    """Verified edges: (u, v, jaccard, hamming) for passing pairs."""
+    """Verified edges: (u, v, kind, jaccard, hamming) for passing pairs.
+
+    Candidates of kind 'exact' (sha-equal) pass by construction with
+    jaccard=1, hamming=0; only 'lsh' candidates face the exact re-rank.
+
+    small_candidates=True broadcasts the edge set through both signature
+    joins (signatures are scanned twice but never shuffled) — right whenever
+    edges fit in memory; with huge edge sets leave False and let AQE pick
+    shuffle strategy + skew splitting.
+    """
     sig = signatures.select("file_id", "shingle_hashes", "simhash", "n_shingles")
 
-    joined = (
-        candidates.join(
-            sig.select(
-                F.col("file_id").alias("u"),
-                F.col("shingle_hashes").alias("sh_u"),
-                F.col("simhash").alias("sim_u"),
-                F.col("n_shingles").alias("ns_u"),
-            ),
-            "u",
-        ).join(
-            sig.select(
-                F.col("file_id").alias("v"),
-                F.col("shingle_hashes").alias("sh_v"),
-                F.col("simhash").alias("sim_v"),
-                F.col("n_shingles").alias("ns_v"),
-            ),
-            "v",
-        )
+    exact = candidates.where(F.col("kind") == "exact").select(
+        "u", "v", "kind",
+        F.lit(1.0).alias("jaccard"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    candidates = candidates.where(F.col("kind") == "lsh").select("u", "v")
+
+    cand = F.broadcast(candidates) if small_candidates else candidates
+    j1 = cand.join(
+        sig.select(
+            F.col("file_id").alias("u"),
+            F.col("shingle_hashes").alias("sh_u"),
+            F.col("simhash").alias("sim_u"),
+            F.col("n_shingles").alias("ns_u"),
+        ),
+        "u",
+    )
+    if small_candidates:
+        j1 = F.broadcast(j1)
+    joined = j1.join(
+        sig.select(
+            F.col("file_id").alias("v"),
+            F.col("shingle_hashes").alias("sh_v"),
+            F.col("simhash").alias("sim_v"),
+            F.col("n_shingles").alias("ns_v"),
+        ),
+        "v",
     )
     scored = joined.select(
         "u",
@@ -101,10 +128,15 @@ def verify(
     )
     # hamming path gated on enough shingles: the majority-vote estimator is
     # noise below ~cfg.simhash_min_shingles elements (small docs collide)
-    return scored.select("u", "v", "jaccard", "hamming").where(
-        (F.col("jaccard") >= F.lit(cfg.jaccard_s))
-        | (
-            (F.col("hamming") <= F.lit(cfg.hamming_t))
-            & (F.col("min_shingles") >= F.lit(cfg.simhash_min_shingles))
+    lsh_passed = (
+        scored.select("u", "v", "jaccard", "hamming", "min_shingles")
+        .where(
+            (F.col("jaccard") >= F.lit(cfg.jaccard_s))
+            | (
+                (F.col("hamming") <= F.lit(cfg.hamming_t))
+                & (F.col("min_shingles") >= F.lit(cfg.simhash_min_shingles))
+            )
         )
+        .select("u", "v", F.lit("lsh").alias("kind"), "jaccard", "hamming")
     )
+    return exact.unionByName(lsh_passed)

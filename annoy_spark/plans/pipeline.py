@@ -14,14 +14,15 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from annoy_spark.config import DedupConfig
-from annoy_spark.operators.band import candidate_edges, exact_edges
+from annoy_spark.operators.band import all_candidate_edges
 from annoy_spark.operators.cluster import connected_components
-from annoy_spark.operators.sign import sign
+from annoy_spark.operators.sign import file_id_col, sign
+from annoy_spark.operators.substring import substring_edges
 from annoy_spark.operators.verify import verify
 from annoy_spark.sources.checkpoint import CheckpointStore
 
-STAGES = ("signatures", "exact_edges", "candidate_edges",
-          "skipped_groups", "verified_edges", "clusters")
+STAGES = ("signatures", "candidate_edges", "skipped_groups",
+          "verified_edges", "substring_edges", "clusters")
 
 
 @dataclass
@@ -29,7 +30,7 @@ class PipelineResult:
     clusters: DataFrame
     signatures: DataFrame
     verified_edges: DataFrame
-    exact_edges: DataFrame
+    substring_edges: DataFrame | None
     skipped_groups: DataFrame
     metrics: dict = field(default_factory=dict)
 
@@ -65,15 +66,8 @@ def run_pipeline(
         store, spark, "signatures", lambda: sign(corpus, cfg), metrics, resume
     )
 
-    def build_exact() -> DataFrame:
-        _, e = exact_edges(signatures)
-        return e
-
-    ex_edges = _stage(store, spark, "exact_edges", build_exact, metrics, resume)
-
     def build_candidates() -> DataFrame:
-        reps, _ = exact_edges(signatures)
-        cand, skipped = candidate_edges(reps, cfg)
+        cand, skipped = all_candidate_edges(signatures, cfg)
         store.write("skipped_groups", skipped)
         return cand
 
@@ -82,13 +76,40 @@ def run_pipeline(
     )
     skipped = store.read(spark, "skipped_groups")
 
+    # broadcast the edge set through the verification joins while it's small
+    # (parquet count is metadata-only); at scale AQE handles strategy + skew
+    n_cand = metrics["candidate_edges"].get("n_rows") or cand.count()
     verified = _stage(
         store, spark, "verified_edges",
-        lambda: verify(cand, signatures, cfg), metrics, resume,
+        lambda: verify(
+            cand, signatures, cfg, small_candidates=n_cand < 2_000_000
+        ),
+        metrics, resume,
     )
 
+    sub_edges = None
+    if cfg.enable_substring:
+        def build_substring() -> DataFrame:
+            # sha-collapsed representatives only: exact-dup members are
+            # already connected via 'exact' edges
+            reps = (
+                signatures.groupBy("content_sha")
+                .agg(F.min("file_id").alias("file_id"))
+            )
+            corpus_reps = (
+                corpus.select(file_id_col().alias("file_id"), "content")
+                .join(reps, "file_id")
+            )
+            return substring_edges(corpus_reps, cfg)
+
+        sub_edges = _stage(
+            store, spark, "substring_edges", build_substring, metrics, resume
+        )
+
     def build_clusters() -> DataFrame:
-        edges = verified.select("u", "v").unionByName(ex_edges.select("u", "v"))
+        edges = verified.select("u", "v")
+        if sub_edges is not None:
+            edges = edges.unionByName(sub_edges.select("u", "v"))
         nodes = signatures.select(F.col("file_id").alias("doc_id"))
         return connected_components(
             edges, nodes, max_iters=cfg.cc_max_iters
@@ -102,7 +123,7 @@ def run_pipeline(
         clusters=clusters,
         signatures=signatures,
         verified_edges=verified,
-        exact_edges=ex_edges,
+        substring_edges=sub_edges,
         skipped_groups=skipped,
         metrics=metrics,
     )

@@ -1,0 +1,106 @@
+"""Benchmark harness (driver contract): one JSON line on stdout.
+
+Headline queries:
+- dedup_pipeline: full sign->band->verify->cluster over a deterministic
+  synthetic source-code corpus (N scales with sf; generation time excluded);
+- four heavyweight gate queries over the sf documents table;
+- LSH k-NN over the sf embeddings table.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from annoy_spark.config import DedupConfig
+from annoy_spark.corpus import generate_corpus
+from annoy_spark.gates import queries as G
+from annoy_spark.operators.knn import knn_lsh
+from annoy_spark.plans.pipeline import run_pipeline
+from annoy_spark.session import get_spark
+
+GATE_QUERIES = (
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_hamming_pairs",
+    "duplicate_clusters",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.1
+    n_files = max(int(200_000 * sf), 1_000)
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="annoy_spark_bench_")
+    timings: dict[str, float] = {}
+    try:
+        # --- dedup pipeline over synthetic corpus (generation excluded) ---
+        corpus_path = f"{tmp}/corpus"
+        cdf, _ = generate_corpus(spark, n_files, seed=42, partitions=cpus)
+        cdf.write.mode("overwrite").parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+
+        t0 = time.time()
+        res = run_pipeline(
+            spark, corpus, DedupConfig(), f"{tmp}/ckpt", resume=False
+        )
+        res.clusters.count()
+        timings["dedup_pipeline"] = time.time() - t0
+        files_per_sec = n_files / timings["dedup_pipeline"]
+
+        # --- gate queries over the sf documents table ---
+        for name in ("documents", "embeddings"):
+            spark.read.parquet(f"{sf_dir}/{name}.parquet") \
+                .createOrReplaceTempView(name)
+        for name in GATE_QUERIES:
+            t0 = time.time()
+            if name == "duplicate_clusters":
+                from annoy_spark.operators.cluster import connected_components
+
+                edges = spark.sql(G.duplicate_clusters_edges_sql_spark())
+                nodes = spark.sql(G.duplicate_clusters_nodes_sql_spark())
+                connected_components(edges, nodes).count()
+            else:
+                spark.sql(G.spark_sql_for(name)).count()
+            timings[name] = time.time() - t0
+
+        # --- ANN over embeddings ---
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.time()
+        knn_lsh(emb, k=10, n_tables=12, n_bits=8, seed=42).count()
+        timings["knn_lsh"] = time.time() - t0
+
+        total = sum(timings.values())
+        print(json.dumps({
+            "metric": "dedup_pipeline+gates total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf,
+            "pipeline_files": n_files,
+            "pipeline_files_per_sec": round(files_per_sec, 1),
+            "cpus": cpus,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""k-NN operator tests: exact orders on tiny inputs + LSH recall vs brute
+force (the precision-ladder method of /root/reference/test/
+angular_index_test.py:106-141, thresholded)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from annoy_spark.operators.knn import knn_bruteforce, knn_lsh
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # annoy's angular_index_test get_nns_by_vector fixture, re-expressed:
+    # vectors [0,0,1],[0,1,0],[1,0,0] (annoy test/angular_index_test.py:23-33)
+    return spark.createDataFrame(
+        [(0, [0.0, 0.0, 1.0]), (1, [0.0, 1.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_bruteforce_exact_order_and_distance(tiny):
+    got = knn_bruteforce(tiny, tiny, k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rank, r.nid, r.distance))
+    # all pairwise angles are 90 deg -> distance sqrt(2); ties break by id
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [n for _, n, _ in rows] == sorted(x for x in (0, 1, 2) if x != q)
+        for _, _, d in rows:
+            assert abs(d - math.sqrt(2)) < 1e-12
+
+
+def test_bruteforce_dot_metric(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [0.5, 0.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = knn_bruteforce(df, df.where("vec_id = 0"), k=3, metric="dot").collect()
+    order = [r.nid for r in sorted(got, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]  # by descending dot product
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(5)
+    n, dim, k = 400, 16, 10
+    # clustered data so neighbors are meaningful (planted structure)
+    centers = rng.standard_normal((20, dim)) * 3
+    vecs = centers[np.arange(n) % 20] + rng.standard_normal((n, dim)) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+    exact = knn_bruteforce(df, df, k=k).collect()
+    approx = knn_lsh(df, k=k, n_tables=12, n_bits=6, seed=42).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.nid)
+    found = {}
+    for r in approx:
+        found.setdefault(r.qid, set()).add(r.nid)
+    hits = sum(len(truth[q] & found.get(q, set())) for q in truth)
+    recall = hits / (len(truth) * k)
+    assert recall >= 0.9, f"LSH recall {recall:.3f}"
+
+
+def test_lsh_deterministic(spark):
+    rng = np.random.default_rng(9)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    a = {(r.qid, r.rank): r.nid for r in knn_lsh(df, k=5, seed=1).collect()}
+    b = {(r.qid, r.rank): r.nid
+         for r in knn_lsh(df.repartition(7), k=5, seed=1).collect()}
+    assert a == b

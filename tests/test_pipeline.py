@@ -13,7 +13,10 @@ from annoy_spark.oracle import cluster_precision, compute_oracle, pair_recall
 from annoy_spark.plans.pipeline import assert_sha_invariant, run_pipeline
 
 N = 800
-CFG = DedupConfig()
+# oracle gates run without the substring pass: the O(n^2) oracle models
+# exact + Jaccard edges only; the substring stage is gated separately below
+CFG = DedupConfig(enable_substring=False)
+CFG_FULL = DedupConfig()
 
 
 @pytest.fixture(scope="module")
@@ -110,6 +113,61 @@ def test_empty_and_single_row_corpus(spark, tmp_path_factory):
     )
     rows = r1.clusters.collect()
     assert len(rows) == 1 and rows[0].file_id == rows[0].cluster_id
+
+
+def test_substring_pass_clusters_planted_blocks(spark, tmp_path_factory):
+    """Planted substring-class rows share a verbatim block >= 2000 chars
+    with their base -> must co-cluster; boilerplate headers (~200 chars)
+    must NOT merge otherwise-unique files."""
+    from pyspark.sql import functions as F
+
+    n = 400
+    df, labels = generate_corpus(spark, n, seed=42, partitions=4)
+    out = str(tmp_path_factory.mktemp("sub"))
+    res = run_pipeline(spark, df, CFG_FULL, out, resume=False)
+    clusters = {r.file_id: r.cluster_id for r in res.clusters.collect()}
+
+    ids = {
+        r.row_id: r.file_id
+        for r in df.join(labels.select("repo", "path", "commit", "row_id"),
+                         ["repo", "path", "commit"])
+        .select("row_id", F.xxhash64("repo", "path", "commit").alias("file_id"))
+        .collect()
+    }
+    lab = {r.row_id: (r.dup_class, r.base_id) for r in labels.collect()}
+    content_len = {
+        r.row_id: len(r.content)
+        for r in df.join(labels.select("repo", "path", "commit", "row_id"),
+                         ["repo", "path", "commit"]).select("row_id", "content").collect()
+    }
+
+    # substring rows whose base is long enough that the spliced block is a
+    # true >=2200-char substring of the base's own content
+    checked = hit = 0
+    for rid, (cls, base) in lab.items():
+        if cls != "substring" or base == rid:
+            continue
+        # the spliced block is base's canonical token stream — it is a true
+        # substring of the base ROW only when that row is unique-class
+        # (exact/near/substring base rows render different content)
+        if lab.get(base, ("?", -1))[0] != "unique":
+            continue
+        if content_len.get(base, 0) < 2300:
+            continue
+        checked += 1
+        hit += clusters[ids[rid]] == clusters[ids[base]]
+    assert checked >= 8, f"need planted substring pairs, got {checked}"
+    assert hit / checked >= 0.95, f"substring recall {hit}/{checked}"
+
+    # negative control: boilerplate rows with distinct bases stay apart
+    boiler = [ids[r] for r, (c, _) in lab.items() if c == "boilerplate"]
+    merged = sum(
+        1
+        for i in range(len(boiler))
+        for j in range(i + 1, len(boiler))
+        if clusters[boiler[i]] == clusters[boiler[j]]
+    )
+    assert merged == 0, f"{merged} boilerplate pairs wrongly merged"
 
 
 def test_all_identical_corpus_mega_cluster(spark, tmp_path_factory):
