@@ -1,0 +1,120 @@
+"""Structured Streaming dedup tests: incremental edges vs a static
+signature snapshot + first-writer-wins exact dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from annoy_spark.config import DedupConfig
+from annoy_spark.operators.sign import sign
+from annoy_spark.streaming.dedup_stream import (
+    exact_dedup_stream,
+    incremental_dedup_stream,
+)
+
+CFG = DedupConfig(enable_substring=False)
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def static_corpus(spark):
+    base = " ".join(f"alpha{i} beta{i % 7} gamma{i % 13}" for i in range(120))
+    other = " ".join(f"delta{i} eps{i % 5}" for i in range(150))
+    return _rows(
+        spark,
+        [
+            ("r0", "a.py", "c0", "python", base),
+            ("r0", "b.py", "c0", "python", other),
+        ],
+    ), base, other
+
+
+def test_incremental_dedup_stream(spark, static_corpus, tmp_path):
+    corpus, base, other = static_corpus
+    static_sigs = sign(corpus, CFG).cache()
+    static_sigs.count()
+
+    inp = str(tmp_path / "in")
+    # near-dup of a.py (prefix trimmed) + brand-new unique file
+    batch1 = _rows(
+        spark,
+        [
+            ("r9", "new1.py", "c9", "python", base[30:]),
+            ("r9", "new2.py", "c9", "python", "totally different words here"),
+        ],
+    )
+    batch1.write.mode("append").parquet(inp)
+
+    q = incremental_dedup_stream(
+        spark, inp, static_sigs, str(tmp_path / "out"),
+        str(tmp_path / "ck"), CFG,
+    )
+    q.awaitTermination(120)
+
+    edges = spark.read.parquet(str(tmp_path / "out"))
+    got = edges.select("u", "v", "kind").collect()
+    a_id = corpus.where("path = 'a.py'").select(
+        F.xxhash64("repo", "path", "commit")
+    ).first()[0]
+    new1_id = batch1.where("path = 'new1.py'").select(
+        F.xxhash64("repo", "path", "commit")
+    ).first()[0]
+    assert any(r.u == a_id and r.v == new1_id for r in got), got
+    # the unique new file must produce no edges
+    new2_id = batch1.where("path = 'new2.py'").select(
+        F.xxhash64("repo", "path", "commit")
+    ).first()[0]
+    assert not any(new2_id in (r.u, r.v) for r in got)
+
+    # second drop: an exact copy of b.py arrives
+    _rows(spark, [("r9", "new3.py", "c9", "python", other)]) \
+        .write.mode("append").parquet(inp)
+    q2 = incremental_dedup_stream(
+        spark, inp, static_sigs, str(tmp_path / "out"),
+        str(tmp_path / "ck"), CFG,
+    )
+    q2.awaitTermination(120)
+    edges2 = spark.read.parquet(str(tmp_path / "out"))
+    kinds: dict = {}
+    for r in edges2.collect():
+        kinds.setdefault((r.u, r.v), set()).add(r.kind)
+    b_id = corpus.where("path = 'b.py'").select(
+        F.xxhash64("repo", "path", "commit")
+    ).first()[0]
+    new3_id = _rows(spark, [("r9", "new3.py", "c9", "python", other)]).select(
+        F.xxhash64("repo", "path", "commit")
+    ).first()[0]
+    assert "exact" in kinds.get((b_id, new3_id), set()), kinds
+
+
+def test_exact_dedup_stream_first_writer_wins(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    _rows(
+        spark,
+        [
+            ("r1", "x.py", "c1", "python", "same bytes"),
+            ("r1", "y.py", "c1", "python", "same bytes"),
+            ("r1", "z.py", "c1", "python", "other bytes"),
+        ],
+    ).write.mode("append").parquet(inp)
+
+    q = exact_dedup_stream(
+        spark, inp, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = out.collect()
+    assert len(rows) == 2  # one winner per distinct sha
+    assert {r.content_sha for r in rows} == {
+        r.content_sha
+        for r in _rows(
+            spark,
+            [("a", "a", "a", "python", "same bytes"),
+             ("a", "a", "a", "python", "other bytes")],
+        ).select(F.sha2("content", 256).alias("content_sha")).collect()
+    }
