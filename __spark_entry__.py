@@ -41,6 +41,55 @@ def _duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, nodes)
 
 
+# --- product-operator queries (no SQL oracle -> driver rows-only check) ---
+
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate k-NN (annoy forest analog) over embeddings."""
+    from annoy_spark.operators.knn import knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_lsh(emb, k=10, n_tables=12, n_bits=8, seed=42)
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload byte-features via mapInPandas."""
+    from annoy_spark.functions.multimodal import (
+        extract_features,
+        media_table_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(media_table_from_documents(docs)).drop("histogram")
+
+
+def _substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing exact-substring duplicate pairs over a derived corpus with
+    planted verbatim blocks (block = the base doc's text repeated)."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.config import DedupConfig
+    from annoy_spark.operators.substring import substring_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blk = F.concat_ws(" ", *([F.col("text")] * 12))
+    derived = docs.select(
+        F.col("doc_id").cast("long").alias("file_id"),
+        F.col("text").alias("content"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 1000000).cast("long").alias("file_id"),
+            F.concat(F.lit("prefix "), blk, F.lit(" suffix")).alias("content"),
+        )
+    ).unionByName(
+        docs.where(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 2000000).cast("long").alias("file_id"),
+            F.concat(blk, F.lit(" tail end")).alias("content"),
+        )
+    )
+    cfg = DedupConfig(enable_substring=True, min_substring_len=1500)
+    return substring_edges(derived, cfg)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full dedup (sign -> band -> verify -> cluster) at sf0.001."""
     return _duplicate_clusters(spark, _TESTDATA_DEFAULT)
@@ -51,6 +100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: _sql_query(name) for name in G.TEMPLATES
     }
     out["duplicate_clusters"] = _duplicate_clusters
+    # rows-only checks (non-SQL-expressible operators)
+    out["knn_lsh"] = _knn_lsh
+    out["media_features"] = _media_features
+    out["substring_pairs"] = _substring_pairs
     return out
 
 
