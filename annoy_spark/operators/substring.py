@@ -46,6 +46,25 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+_POW_CACHE: dict[str, np.ndarray] = {}
+
+
+def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(B^j, B^-j) for j < n — grown geometrically, cached per worker
+    (recomputing two cumprods per FILE doubled the kernel's memory traffic)."""
+    cur = _POW_CACHE.get("b")
+    if cur is None or len(cur) < n:
+        size = max(n, 2 * len(cur) if cur is not None else 4096)
+        b = np.full(size, _B, dtype=np.uint64)
+        b[0] = np.uint64(1)
+        np.cumprod(b, out=b)
+        binv = np.full(size, _BINV, dtype=np.uint64)
+        binv[0] = np.uint64(1)
+        np.cumprod(binv, out=binv)
+        _POW_CACHE["b"], _POW_CACHE["binv"] = b, binv
+    return _POW_CACHE["b"], _POW_CACHE["binv"]
+
+
 def rolling_gram_hashes(data: np.ndarray, c: int) -> np.ndarray:
     """64-bit polynomial hashes of every c-byte gram (len(data)-c+1 values).
 
@@ -54,17 +73,11 @@ def rolling_gram_hashes(data: np.ndarray, c: int) -> np.ndarray:
     n = len(data)
     if n < c:
         return np.empty(0, dtype=np.uint64)
-    idx = np.arange(n, dtype=np.uint64)
-    binv_pow = np.full(n, _BINV, dtype=np.uint64)
-    binv_pow[0] = np.uint64(1)
-    np.cumprod(binv_pow, out=binv_pow)            # B^-j
-    b_pow = np.full(n, _B, dtype=np.uint64)
-    b_pow[0] = np.uint64(1)
-    np.cumprod(b_pow, out=b_pow)                  # B^j
-    v = data.astype(np.uint64) * binv_pow
+    b_pow, binv_pow = _powers(n)
+    v = data.astype(np.uint64) * binv_pow[:n]
     t = np.concatenate(([np.uint64(0)], np.cumsum(v, dtype=np.uint64)))
     # window sum * B^(i+c-1)
-    return (t[c:] - t[: n - c + 1]) * b_pow[c - 1 :]
+    return (t[c:] - t[: n - c + 1]) * b_pow[c - 1 : n]
 
 
 def _sliding(arr: np.ndarray, w: int, ufunc, fill) -> np.ndarray:

@@ -1,0 +1,81 @@
+"""Dump physical plans of the key operators to PLANS.md.
+
+Evidence that the declared plans compile to what we want: parquet scans with
+pruned schemas + pushed filters, broadcast joins where intended, map-side
+combined aggregations, ArrowEvalPython only where vectorized UDFs run.
+
+Usage: python tools/explain_plans.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from annoy_spark.config import DedupConfig
+    from annoy_spark.corpus import generate_corpus
+    from annoy_spark.operators.band import all_candidate_edges
+    from annoy_spark.operators.knn import knn_bruteforce
+    from annoy_spark.operators.sign import sign
+    from annoy_spark.operators.verify import verify
+    from annoy_spark.session import get_spark
+
+    spark = get_spark("plans", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = DedupConfig()
+
+    corpus, _ = generate_corpus(spark, 500, seed=42, partitions=4)
+    corpus.write.mode("overwrite").parquet("/tmp/plans_corpus")
+    corpus = spark.read.parquet("/tmp/plans_corpus")
+
+    sigs = sign(corpus, cfg)
+    sigs.write.mode("overwrite").parquet("/tmp/plans_sigs")
+    sigs_p = spark.read.parquet("/tmp/plans_sigs")
+
+    cand, _ = all_candidate_edges(sigs_p, cfg)
+    cand.write.mode("overwrite").parquet("/tmp/plans_cand")
+    cand_p = spark.read.parquet("/tmp/plans_cand")
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(16)),
+                    lambda i: F.rand(42) ).alias("embedding"),
+    )
+
+    sections = {
+        "SIGN stage (scan -> codegen string ops -> one ArrowEvalPython)":
+            plan_of(sign(corpus, cfg)),
+        "CANDIDATE stage (posexplode -> map-side-combined min/count -> "
+        "tiered joins)": plan_of(all_candidate_edges(sigs_p, cfg)[0]),
+        "VERIFY stage (broadcast edges through both signature joins)":
+            plan_of(verify(cand_p, sigs_p, cfg, small_candidates=True)),
+        "KNN brute force (broadcast queries, no shuffle of items)":
+            plan_of(knn_bruteforce(emb, emb.limit(5), k=3)),
+    }
+
+    out = ["# PLANS — physical plan evidence (auto-generated)\n",
+           "Regenerate: `python tools/explain_plans.py`\n"]
+    for title, text in sections.items():
+        out.append(f"\n## {title}\n\n```\n{text}\n```\n")
+    (REPO / "PLANS.md").write_text("".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
