@@ -41,6 +41,19 @@ def _duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, nodes)
 
 
+def _cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_size, n_clusters) histogram over CC output."""
+    from pyspark.sql import functions as F
+
+    labels = _duplicate_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
 # --- product-operator queries (no SQL oracle -> driver rows-only check) ---
 
 def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: _sql_query(name) for name in G.TEMPLATES
     }
     out["duplicate_clusters"] = _duplicate_clusters
+    out["cluster_size_hist"] = _cluster_size_hist
     # rows-only checks (non-SQL-expressible operators)
     out["knn_lsh"] = _knn_lsh
     out["media_features"] = _media_features
@@ -110,4 +124,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = {name: G.duck_sql_for(name) for name in G.TEMPLATES}
     out["duplicate_clusters"] = G.q_duplicate_clusters_duck()
+    out["cluster_size_hist"] = G.q_cluster_size_hist_duck()
     return out

@@ -357,6 +357,102 @@ JOIN norms nb ON nb.vec_id = b.vec_id
 WHERE na.n2 > 0 AND nb.n2 > 0 AND {cos} >= {COSINE_S}"""
 
 
+def q_knn_euclidean_topk(d: Dialect) -> str:
+    """get_nns_by_item, euclidean metric (annoylib.h:849-864): top-k by
+    exact integer squared distance d2 = |q|^2 + |n|^2 - 2<q,n>."""
+    dot = d.int_dot("qv", "nv")
+    d2 = f"(nq + nn - 2 * {dot})"
+    return f"""WITH {_emb_cte(d)},
+norms AS (
+  SELECT vec_id, q, {d.int_dot('q', 'q')} AS n2 FROM emb
+),
+queries AS (
+  SELECT vec_id AS qid, q AS qv, n2 AS nq FROM norms WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT qs.qid, e.vec_id AS nid, qs.qv AS qv, e.q AS nv, qs.nq AS nq, e.n2 AS nn
+  FROM queries qs JOIN norms e ON e.vec_id <> qs.qid
+),
+ranked AS (
+  SELECT qid, nid, {d2} AS dist2,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY {d2} ASC, nid) AS rn
+  FROM scored
+)
+SELECT qid, nid, CAST(rn AS BIGINT) AS rank, CAST(dist2 AS BIGINT) AS dist2
+FROM ranked WHERE rn <= {KNN_K}"""
+
+
+def _query_vector_literal(d: Dialect, dim: int = 64) -> str:
+    """Deterministic literal query vector (get_nns_by_VECTOR: the query is
+    not a stored item — annoylib.h:1234-1236)."""
+    vals = [((_h32(f"qv{i}:{SEED}") % 9000) - 4500) for i in range(dim)]
+    inner = ", ".join(f"CAST({v} AS BIGINT)" for v in vals)
+    return f"array({inner})" if d.name == "spark" else f"[{inner}]"
+
+
+def q_knn_by_vector(d: Dialect) -> str:
+    """Top-k neighbors of a literal (non-stored) query vector by exact
+    integer dot product."""
+    qlit = _query_vector_literal(d)
+    dot = d.int_dot("qv", "q")
+    return f"""WITH {_emb_cte(d)},
+scored AS (
+  SELECT vec_id AS nid, {qlit} AS qv, q FROM emb
+),
+ranked AS (
+  SELECT nid, {dot} AS dot_q,
+    ROW_NUMBER() OVER (ORDER BY {dot} DESC, nid) AS rn
+  FROM scored
+)
+SELECT nid, CAST(rn AS BIGINT) AS rank, dot_q
+FROM ranked WHERE rn <= {KNN_K}"""
+
+
+def q_minhash_jaccard_estimate(d: Dialect) -> str:
+    """MinHash agreement as a Jaccard estimator next to the exact value —
+    the estimator/exact relationship Annoy's precision harness measures
+    (examples/precision_test.py)."""
+    agree = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(GATE_N_PERM)
+    )
+    cand = """SELECT c.u, c.v, COUNT(*) AS ni
+  FROM cand c
+  JOIN shx xa ON xa.doc_id = c.u
+  JOIN shx xb ON xb.doc_id = c.v AND xb.s = xa.s
+  GROUP BY c.u, c.v"""
+    return f"""WITH {_minhash_ctes(d)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT a.doc_id AS u, b.doc_id AS v,
+    CAST(({agree}) AS DOUBLE) / {GATE_N_PERM} AS jaccard_est
+  FROM mh a JOIN mh b ON a.doc_id < b.doc_id
+  JOIN cand c ON c.u = a.doc_id AND c.v = b.doc_id
+),
+{_jaccard_ctes(d, cand)}
+SELECT e.u, e.v, e.jaccard_est, s.jaccard AS jaccard_exact
+FROM est e JOIN scored s ON s.u = e.u AND s.v = e.v"""
+
+
+def q_dedup_stats(d: Dialect) -> str:
+    """Corpus-level dedup metrics (the lineage/introspection surface)."""
+    return f"""WITH {_corpus_cte(d)},
+per_sha AS (
+  SELECT md5(text) AS h, COUNT(*) AS c FROM corpus GROUP BY md5(text)
+)
+SELECT
+  {d.big_sum('c')} AS n_docs,
+  COUNT(*) AS n_distinct,
+  {d.big_sum('c - 1')} AS n_redundant,
+  CAST({d.big_sum('c - 1')} AS DOUBLE) / CAST({d.big_sum('c')} AS DOUBLE)
+    AS dup_rate
+FROM per_sha"""
+
+
 def q_lang_id(d: Dialect) -> str:
     """Stopword-marker language heuristic (integer arithmetic only)."""
     markers = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -463,12 +559,7 @@ def duplicate_clusters_nodes_sql_spark() -> str:
     return f"WITH {_corpus_cte(SPARK)}\nSELECT doc_id FROM corpus"
 
 
-def q_duplicate_clusters_duck() -> str:
-    """DuckDB oracle for connected components: recursive-CTE transitive
-    closure + min-label. The Spark side runs the iterative large-star /
-    small-star operator in annoy_spark.operators.cluster."""
-    return f"""WITH RECURSIVE {_edges_prologue(DUCK)},
-und AS (
+_CC_DUCK_CTES = """und AS (
   SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
 ),
 reach(node, root) AS (
@@ -476,8 +567,30 @@ reach(node, root) AS (
   UNION
   SELECT und.v AS node, reach.root AS root
   FROM reach JOIN und ON und.u = reach.node
+),
+labels AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+)"""
+
+
+def q_duplicate_clusters_duck() -> str:
+    """DuckDB oracle for connected components: recursive-CTE transitive
+    closure + min-label. The Spark side runs the iterative large-star /
+    small-star operator in annoy_spark.operators.cluster."""
+    return f"""WITH RECURSIVE {_edges_prologue(DUCK)},
+{_CC_DUCK_CTES}
+SELECT doc_id, cluster_id FROM labels"""
+
+
+def q_cluster_size_hist_duck() -> str:
+    """DuckDB oracle for the cluster-size histogram."""
+    return f"""WITH RECURSIVE {_edges_prologue(DUCK)},
+{_CC_DUCK_CTES},
+csizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
 )
-SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node"""
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM csizes GROUP BY cluster_size"""
 
 
 # name -> (spark_sql, duck_sql); duplicate_clusters handled separately
@@ -494,6 +607,10 @@ TEMPLATES = {
     "pair_distances": q_pair_distances,
     "knn_dot_topk": q_knn_dot_topk,
     "knn_cosine_topk": q_knn_cosine_topk,
+    "knn_euclidean_topk": q_knn_euclidean_topk,
+    "knn_by_vector": q_knn_by_vector,
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+    "dedup_stats": q_dedup_stats,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
