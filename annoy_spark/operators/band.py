@@ -18,7 +18,7 @@ defenses mirror Annoy's split-imbalance fallback (annoylib.h:1337-1425):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from annoy_spark.config import DedupConfig
 
@@ -30,11 +30,9 @@ def exact_edges(signatures: DataFrame) -> tuple[DataFrame, DataFrame]:
     exact_dup_edges: (u=rep, v=member) for every non-representative member —
     star edges; CC expands them to full clusters.
     """
-    reps = (
-        signatures.groupBy("content_sha")
-        .agg(F.min("file_id").alias("rep_id"))
-    )
-    with_rep = signatures.join(reps, "content_sha")
+    # window-min instead of groupBy+join-back: one shuffle, no second scan
+    w = Window.partitionBy("content_sha")
+    with_rep = signatures.withColumn("rep_id", F.min("file_id").over(w))
     edges = (
         with_rep.where(F.col("file_id") != F.col("rep_id"))
         .select(F.col("rep_id").alias("u"), F.col("file_id").alias("v"))
@@ -75,40 +73,40 @@ def candidate_edges(
         .select("file_id", F.posexplode("band_keys").alias("band_idx", "band_key"))
     )
 
-    # one shuffle: per-group min (the star center) + size, map-side combined
-    groups = bands.groupBy("band_idx", "band_key").agg(
-        F.min("file_id").alias("gmin"),
-        F.count(F.lit(1)).alias("gsize"),
-    )
-    skipped = groups.where(F.col("gsize") > cfg.band_group_cap).select(
-        "band_idx", "band_key", F.col("gsize").alias("n_members")
+    # one shuffle total for group stats: window aggregates attach the group
+    # min (star center) and size to every member — no join-back scan
+    w = Window.partitionBy("band_idx", "band_key")
+    annotated = bands.select(
+        "file_id", "band_idx", "band_key",
+        F.min("file_id").over(w).alias("gmin"),
+        F.count(F.lit(1)).over(w).alias("gsize"),
     )
 
-    # tier 1: full pair enumeration inside small groups (self-join)
-    small = groups.where(
+    skipped = (
+        annotated.where(F.col("gsize") > cfg.band_group_cap)
+        .groupBy("band_idx", "band_key")
+        .agg(F.first("gsize").alias("n_members"))
+    )
+
+    # tier 1: full pair enumeration inside small groups — the self-join key
+    # equals the window partitioning, so no re-shuffle of either side
+    in_small = annotated.where(
         (F.col("gsize") > 1) & (F.col("gsize") <= cfg.pair_enum_cap)
-    ).select("band_idx", "band_key")
-    in_small = bands.join(small, ["band_idx", "band_key"])
+    ).select("band_idx", "band_key", "file_id")
     full_pairs = (
         in_small.alias("a")
-        .join(
-            in_small.alias("b"),
-            ["band_idx", "band_key"],
-        )
+        .join(in_small.alias("b"), ["band_idx", "band_key"])
         .where(F.col("a.file_id") < F.col("b.file_id"))
         .select(F.col("a.file_id").alias("u"), F.col("b.file_id").alias("v"))
     )
 
-    # tier 2: star edges to the group min inside medium groups
-    medium = groups.where(
+    # tier 2: star edges to the group min — directly from window columns,
+    # zero additional shuffles
+    star_pairs = annotated.where(
         (F.col("gsize") > cfg.pair_enum_cap)
         & (F.col("gsize") <= cfg.band_group_cap)
-    ).select("band_idx", "band_key", "gmin")
-    star_pairs = (
-        bands.join(medium, ["band_idx", "band_key"])
-        .where(F.col("file_id") != F.col("gmin"))
-        .select(F.col("gmin").alias("u"), F.col("file_id").alias("v"))
-    )
+        & (F.col("file_id") != F.col("gmin"))
+    ).select(F.col("gmin").alias("u"), F.col("file_id").alias("v"))
 
     pairs = full_pairs.unionByName(star_pairs).distinct()
     return pairs, skipped
