@@ -195,14 +195,25 @@ def make_extend_verifier(cfg: DedupConfig):
 
 
 def substring_edges(
-    corpus_with_ids: DataFrame, cfg: DedupConfig
+    corpus_with_ids: DataFrame,
+    cfg: DedupConfig,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """(u, v, match_len) pairs sharing a verbatim block >= min_substring_len.
 
     corpus_with_ids: (file_id, content) — pass sha-collapsed representatives
-    to keep fingerprint groups free of exact-duplicate blowup."""
+    to keep fingerprint groups free of exact-duplicate blowup.
+
+    broadcast_pairs=True broadcasts the candidate pair set (and its one-side
+    contents) through the verification joins so the corpus content is only
+    streamed. Set False when the candidate pair count is huge relative to
+    executor memory — AQE then picks shuffle strategy."""
     fp_udf = make_fingerprint_udf(cfg)
 
+    # one UDF pass, window-annotated group stats, persisted: this small
+    # table (~2 rows/file) feeds three consumers — without persist the
+    # content-scanning UDF would re-run per consumer
+    w = Window.partitionBy("fp")
     fps = (
         corpus_with_ids.select(
             "file_id", fp_udf(F.col("content")).alias("f")
@@ -214,16 +225,24 @@ def substring_edges(
             F.col("e.fp").alias("fp"),
             F.col("e.fp_pos").alias("pos"),
         )
+        .select(
+            "*",
+            F.min("file_id").over(w).alias("gmin"),
+            F.count(F.lit(1)).over(w).alias("gsize"),
+        )
+        .select(
+            "*",
+            F.min(
+                F.when(F.col("file_id") == F.col("gmin"), F.col("pos"))
+            ).over(w).alias("gmin_pos"),
+        )
+        .persist()
     )
 
-    groups = fps.groupBy("fp").agg(
-        F.min("file_id").alias("gmin"), F.count(F.lit(1)).alias("gsize")
-    )
-    # tiered enumeration (same skew ladder as banding)
-    small = groups.where(
+    # tier 1: full pairs in small groups (self-join reuses fp partitioning)
+    in_small = fps.where(
         (F.col("gsize") > 1) & (F.col("gsize") <= cfg.pair_enum_cap)
-    ).select("fp")
-    in_small = fps.join(small, "fp")
+    ).select("fp", "file_id", "pos")
     full_pairs = (
         in_small.alias("a")
         .join(in_small.alias("b"), "fp")
@@ -235,30 +254,17 @@ def substring_edges(
             F.col("b.pos").alias("pv"),
         )
     )
-    medium = groups.where(
+    # tier 2: star edges to the group min — anchor positions directly from
+    # the window columns, zero extra shuffles
+    star_pairs = fps.where(
         (F.col("gsize") > cfg.pair_enum_cap)
         & (F.col("gsize") <= cfg.band_group_cap)
-    ).select("fp", "gmin")
-    center_pos = fps.select(
-        F.col("fp").alias("cfp"),
-        F.col("file_id").alias("gm"),
-        F.col("pos").alias("gpos"),
-    )
-    star_pairs = (
-        fps.join(medium, "fp")
-        .where(F.col("file_id") != F.col("gmin"))
-        .join(
-            center_pos,
-            (F.col("fp") == F.col("cfp")) & (F.col("gmin") == F.col("gm")),
-        )
-        .select(
-            F.least("gmin", "file_id").alias("u"),
-            F.greatest("gmin", "file_id").alias("v"),
-            F.when(F.col("gmin") < F.col("file_id"), F.col("gpos"))
-            .otherwise(F.col("pos")).alias("pu"),
-            F.when(F.col("gmin") < F.col("file_id"), F.col("pos"))
-            .otherwise(F.col("gpos")).alias("pv"),
-        )
+        & (F.col("file_id") != F.col("gmin"))
+    ).select(
+        F.col("gmin").alias("u"),
+        F.col("file_id").alias("v"),
+        F.col("gmin_pos").alias("pu"),
+        F.col("pos").alias("pv"),
     )
     pairs = full_pairs.unionByName(star_pairs)
 
@@ -274,14 +280,17 @@ def substring_edges(
         )
     )
 
+    # candidate pairs are a tiny fraction of the corpus: broadcast them
+    # through both content joins so content is streamed, never shuffled
     content = corpus_with_ids.select("file_id", "content")
-    joined = (
-        anchored.join(
-            content.select(F.col("file_id").alias("u"),
-                           F.col("content").alias("content_u")), "u"
-        ).join(
-            content.select(F.col("file_id").alias("v"),
-                           F.col("content").alias("content_v")), "v"
-        )
-    )
+    if broadcast_pairs:
+        anchored = F.broadcast(anchored)
+    j1 = content.select(
+        F.col("file_id").alias("u"), F.col("content").alias("content_u")
+    ).join(anchored, "u")
+    if broadcast_pairs:
+        j1 = F.broadcast(j1)
+    joined = content.select(
+        F.col("file_id").alias("v"), F.col("content").alias("content_v")
+    ).join(j1, "v")
     return joined.mapInPandas(make_extend_verifier(cfg), schema=_EXTEND_SCHEMA)
