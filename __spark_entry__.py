@@ -104,8 +104,37 @@ def _substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full dedup (sign -> band -> verify -> cluster) at sf0.001."""
-    return _duplicate_clusters(spark, _TESTDATA_DEFAULT)
+    """Flagship: the REAL product pipeline (sign -> band -> verify ->
+    substring -> cluster, checkpointed) over a corpus derived from the
+    sf0.001 documents table; returns (file_id, cluster_id)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from annoy_spark.config import DedupConfig
+    from annoy_spark.plans.pipeline import run_pipeline
+
+    docs = spark.read.parquet(f"{_TESTDATA_DEFAULT}/documents.parquet")
+    # adapt documents to the corpus schema; plant near+exact dups so the
+    # smoke check exercises non-trivial clustering
+    corpus = docs.select(
+        F.concat(F.lit("org/repo"), (F.col("doc_id") % 5).cast("string")).alias("repo"),
+        F.concat(F.lit("src/doc"), F.col("doc_id").cast("string"), F.lit(".py")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.col("text").alias("content"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            F.lit("org/copy").alias("repo"),
+            F.concat(F.lit("src/near"), F.col("doc_id").cast("string"), F.lit(".py")).alias("path"),
+            F.lit("c1").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.substring(F.col("text"), 15, 1_000_000).alias("content"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="annoy_spark_entry_")
+    res = run_pipeline(spark, corpus, DedupConfig(), out, resume=False)
+    return res.clusters
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
