@@ -114,7 +114,9 @@ def shingle_hash_batch(
     out: list[np.ndarray] = [None] * n  # type: ignore[list-item]
     if len(flat):
         acc = np.zeros(len(flat), dtype=np.uint64)
-        for j in range(k):
+        # j capped by len(flat): a negative stop in acc[:len-j] would wrap
+        # (crashes/corrupts when the whole flattened batch is shorter than k)
+        for j in range(min(k, len(flat))):
             # acc[i] += h[i+j] * c[j]  (uint64 wraparound)
             acc[: len(flat) - j] += flat[j:] * coeffs[j]
         mixed = _mix64(acc)
