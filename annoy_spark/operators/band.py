@@ -10,10 +10,12 @@ defenses mirror Annoy's split-imbalance fallback (annoylib.h:1337-1425):
    cost O(g) instead of O(g^2);
 2. tiered enumeration — small groups (<= cfg.pair_enum_cap) enumerate all
    pairs (full verified-edge recall); medium groups enumerate star edges to
-   the group minimum only (O(g), clusters restored by CC); groups larger
-   than cfg.band_group_cap are excluded and *accounted* (skipped_groups for
-   the lineage table) — capped recall loss is measured, never silent
-   (SURVEY §7.4).
+   the group minimum only (O(g), clusters restored by CC); huge groups
+   (> cfg.band_group_cap) use a SALTED two-level star — members point at a
+   per-salt-bucket minimum, bucket minima point at the group minimum — so
+   no single reducer materializes the group's pairs and nothing is dropped
+   (the north rule's salted repartitioning). Huge groups are additionally
+   *accounted* (skipped_groups checkpoint) for skew observability.
 """
 
 from __future__ import annotations
@@ -108,5 +110,28 @@ def candidate_edges(
         & (F.col("file_id") != F.col("gmin"))
     ).select(F.col("gmin").alias("u"), F.col("file_id").alias("v"))
 
-    pairs = full_pairs.unionByName(star_pairs).distinct()
+    # tier 3: salted two-level star for huge groups — the salt spreads the
+    # per-bucket window across cfg.salt_buckets reducers
+    huge = annotated.where(F.col("gsize") > cfg.band_group_cap).select(
+        "band_idx", "band_key", "file_id", "gmin",
+        F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_buckets)).alias("salt"),
+    )
+    ws = Window.partitionBy("band_idx", "band_key", "salt")
+    sub = huge.select(
+        "*", F.min("file_id").over(ws).alias("smin")
+    )
+    salted_pairs = (
+        sub.where(F.col("file_id") != F.col("smin"))
+        .select(F.col("smin").alias("u"), F.col("file_id").alias("v"))
+        .unionByName(
+            sub.where(
+                (F.col("file_id") == F.col("smin"))
+                & (F.col("smin") != F.col("gmin"))
+            ).select(F.col("gmin").alias("u"), F.col("smin").alias("v"))
+        )
+    )
+
+    pairs = (
+        full_pairs.unionByName(star_pairs).unionByName(salted_pairs).distinct()
+    )
     return pairs, skipped

@@ -38,8 +38,9 @@ def test_kill_after_stage_then_resume(spark, tmp_path):
 
 
 def test_band_group_cap_accounts_skipped(spark):
-    """Groups above band_group_cap are excluded from pair enumeration but
-    counted — capped recall loss is measured, never silent (SURVEY §7.4)."""
+    """Groups above band_group_cap switch to salted two-level star
+    enumeration (bounded edges, no recall cliff) and are accounted in the
+    skipped_groups checkpoint (SURVEY §7.4)."""
     # 30 distinct near-identical docs (differ by one trailing token) so the
     # sha collapse does NOT merge them, but bands do
     base = " ".join(f"w{i % 9} common token stream" for i in range(80))
@@ -56,12 +57,17 @@ def test_band_group_cap_accounts_skipped(spark):
     sk = skipped.collect()
     assert len(sk) > 0, "oversized groups must be accounted"
     assert all(r.n_members > 5 for r in sk)
-    # and no LSH pair may come from a skipped-size group: every group that
-    # produced pairs was <= cap
+    # salted star keeps edge count linear-ish, far below full enumeration
     lsh = edges.where(F.col("kind") == "lsh")
-    # (structural check: with all 30 docs sharing every band, caps bound the
-    # edge count well below the full 30*29/2 enumeration)
     assert lsh.count() < 30 * 29 / 2
+    # and nothing is dropped: every member still reaches the group min via
+    # CC over the salted star edges
+    from annoy_spark.operators.cluster import connected_components
+
+    labels = connected_components(lsh.select("u", "v"))
+    clusters = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert len(set(clusters.values())) == 1, "salted star must stay connected"
+    assert len(clusters) == 30
 
 
 def test_submit_cli(spark, tmp_path):
