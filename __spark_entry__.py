@@ -54,25 +54,75 @@ def _cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- product-operator queries (no SQL oracle -> driver rows-only check) ---
+# --- product-operator queries (operator on the Spark side, hand-built
+# --- DuckDB oracle on the other) ---
 
-def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate k-NN (annoy forest analog) over embeddings."""
-    from annoy_spark.operators.knn import knn_lsh
+LSH_MIN_RECALL_PCT = 90
+SUBSTRING_MIN_LEN = 1500
 
+
+def _knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the approximate path (the reference's
+    test/accuracy_test.py:89 pattern): recall@k of knn_lsh vs the exact
+    angular top-k, emitted as recall_pass = 1 iff recall >= threshold."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.knn import knn_bruteforce, knn_lsh
+
+    # wide-table config: the gate embeddings are UNSTRUCTURED random
+    # vectors (LSH's worst case), so recall >= 0.9 needs a big candidate
+    # budget — exactly annoy's search_k story (examples/precision_test.py:
+    # 11-46: unstructured data needs search_k ~ n for high precision).
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return knn_lsh(emb, k=10, n_tables=12, n_bits=8, seed=42)
+    approx = knn_lsh(emb, k=10, n_tables=32, n_bits=4, seed=42).select(
+        "qid", "nid"
+    )
+    exact = knn_bruteforce(emb, emb, k=10).select("qid", "nid")
+    hits = exact.join(approx, ["qid", "nid"], "left_semi")
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(emb.agg(F.count(F.lit(1)).alias("n_items")))
+    )
+    return stats.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.lit(LSH_MIN_RECALL_PCT).cast("long").alias("min_recall_pct"),
+        (
+            F.col("n_hit") * 100 >= F.col("n_exact") * LSH_MIN_RECALL_PCT
+        ).cast("long").alias("recall_pass"),
+    )
+
+
+def _hamming_pairs_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe all-pairs Hamming product operator (pigeonhole multi-index
+    block equi-join); its oracle is the O(n^2) theta-join SQL — the operator
+    is exact, so the outputs must hash-match."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.hamming_pairs import hamming_pairs
+
+    _register(spark, sf_dir)
+    sim = spark.sql(G.simhash_signatures_sql_spark()).select(
+        "doc_id", F.array("sig").alias("sig")
+    )
+    return hamming_pairs(sim, t=G.HAMMING_T, n_bits=G.SIMHASH_BITS)
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload byte-features via mapInPandas."""
+    """Multimodal plumbing: binary payload byte-features via mapInPandas.
+    Gate columns are the integer-exact subset (+ one-division byte_mean);
+    entropy/histogram floats are pytest-verified instead."""
     from annoy_spark.functions.multimodal import (
         extract_features,
         media_table_from_documents,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return extract_features(media_table_from_documents(docs)).drop("histogram")
+    return extract_features(media_table_from_documents(docs)).select(
+        "media_id", "media_type", "n_bytes", "byte_sum",
+        "n_distinct_bytes", "byte_mean",
+    )
 
 
 def _substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,7 +149,8 @@ def _substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(blk, F.lit(" tail end")).alias("content"),
         )
     )
-    cfg = DedupConfig(enable_substring=True, min_substring_len=1500)
+    cfg = DedupConfig(enable_substring=True,
+                      min_substring_len=SUBSTRING_MIN_LEN)
     return substring_edges(derived, cfg)
 
 
@@ -143,8 +194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["duplicate_clusters"] = _duplicate_clusters
     out["cluster_size_hist"] = _cluster_size_hist
-    # rows-only checks (non-SQL-expressible operators)
-    out["knn_lsh"] = _knn_lsh
+    # operator-backed gates with hand-built oracles
+    out["knn_lsh_recall"] = _knn_lsh_recall
+    out["hamming_pairs_pigeonhole"] = _hamming_pairs_pigeonhole
     out["media_features"] = _media_features
     out["substring_pairs"] = _substring_pairs
     return out
@@ -154,4 +206,9 @@ def oracle_sql() -> dict[str, str]:
     out = {name: G.duck_sql_for(name) for name in G.TEMPLATES}
     out["duplicate_clusters"] = G.q_duplicate_clusters_duck()
     out["cluster_size_hist"] = G.q_cluster_size_hist_duck()
+    out["knn_lsh_recall"] = G.q_knn_lsh_recall_duck(LSH_MIN_RECALL_PCT)
+    # the theta-join IS the pigeonhole operator's oracle (operator is exact)
+    out["hamming_pairs_pigeonhole"] = G.duck_sql_for("simhash_hamming_pairs")
+    out["media_features"] = G.q_media_features_duck()
+    out["substring_pairs"] = G.q_substring_pairs_duck(SUBSTRING_MIN_LEN)
     return out

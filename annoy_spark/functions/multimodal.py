@@ -34,8 +34,9 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, media_type string, n_bytes long, "
-    "byte_entropy double, byte_mean double, histogram array<double>"
+    "media_id long, media_type string, n_bytes long, byte_sum long, "
+    "n_distinct_bytes long, byte_mean double, byte_entropy double, "
+    "histogram array<double>"
 )
 
 
@@ -69,17 +70,24 @@ def extract_features(media: DataFrame, hist_bins: int = 16) -> DataFrame:
                 if n:
                     hist, _ = np.histogram(data, bins=edges)
                     counts = np.bincount(data, minlength=256)
-                    p = counts[counts > 0] / n
+                    nz = counts > 0
+                    p = counts[nz] / n
                     entropy = float(-(p * np.log2(p)).sum())
-                    mean = float(data.mean())
+                    bsum = int(data.sum(dtype=np.int64))
+                    ndist = int(nz.sum())
+                    # exact: integer sum / n is ONE IEEE division -> the
+                    # value-hash gate can compare it against the SQL oracle
+                    mean = bsum / n
                     h = (hist / n).tolist()
                 else:
                     entropy, mean, h = 0.0, 0.0, [0.0] * hist_bins
-                rows.append((int(mid), mtype, n, entropy, mean, h))
+                    bsum, ndist = 0, 0
+                rows.append((int(mid), mtype, n, bsum, ndist, mean, entropy, h))
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "media_type", "n_bytes",
-                         "byte_entropy", "byte_mean", "histogram"],
+                columns=["media_id", "media_type", "n_bytes", "byte_sum",
+                         "n_distinct_bytes", "byte_mean", "byte_entropy",
+                         "histogram"],
             )
 
     return media.select(

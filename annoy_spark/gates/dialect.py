@@ -127,6 +127,18 @@ class Dialect:
             f"i -> ({a})[i] * ({b})[i])) AS BIGINT)"
         )
 
+    def int_l1(self, a: str, b: str) -> str:
+        """Manhattan distance of two equal-length BIGINT arrays (exact)."""
+        if self.name == "spark":
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> abs(x - y)), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+        return (
+            f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> abs(({a})[i] - ({b})[i]))) AS BIGINT)"
+        )
+
     def quantize(self, arr: str, scale: int) -> str:
         """float array -> BIGINT array: floor(x*scale + 0.5). Exact IEEE ops
         on dyadic-rational float32 inputs -> identical in both engines."""

@@ -408,6 +408,114 @@ SELECT nid, CAST(rn AS BIGINT) AS rank, dot_q
 FROM ranked WHERE rn <= {KNN_K}"""
 
 
+def q_knn_hamming_topk(d: Dialect) -> str:
+    """get_nns_by_item, hamming metric (annoylib.h:736-743, 758-792): top-k
+    by popcount of XORed 60-bit simhash signatures for sampled queries."""
+    ham = d.bit_count(d.xor("qsig", "nsig"))
+    return f"""WITH {_simhash_ctes(d)},
+queries AS (
+  SELECT doc_id AS qid, sig AS qsig FROM sim WHERE doc_id % 25 = 0
+),
+scored AS (
+  SELECT qs.qid, s.doc_id AS nid, qs.qsig AS qsig, s.sig AS nsig
+  FROM queries qs JOIN sim s ON s.doc_id <> qs.qid
+),
+ranked AS (
+  SELECT qid, nid, {ham} AS h,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY {ham} ASC, nid) AS rn
+  FROM scored
+)
+SELECT qid, nid, CAST(rn AS BIGINT) AS rank, CAST(h AS BIGINT) AS hamming
+FROM ranked WHERE rn <= {KNN_K}"""
+
+
+def q_knn_manhattan_topk(d: Dialect) -> str:
+    """get_nns_by_item, manhattan metric (annoylib.h:184-189, 807-813):
+    top-k by exact integer L1 distance over quantized vectors."""
+    l1 = d.int_l1("qv", "nv")
+    return f"""WITH {_emb_cte(d)},
+queries AS (
+  SELECT vec_id AS qid, q AS qv FROM emb WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT qs.qid, e.vec_id AS nid, qs.qv AS qv, e.q AS nv
+  FROM queries qs JOIN emb e ON e.vec_id <> qs.qid
+),
+ranked AS (
+  SELECT qid, nid, {l1} AS l1d,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY {l1} ASC, nid) AS rn
+  FROM scored
+)
+SELECT qid, nid, CAST(rn AS BIGINT) AS rank, CAST(l1d AS BIGINT) AS l1_dist
+FROM ranked WHERE rn <= {KNN_K}"""
+
+
+def simhash_signatures_sql_spark() -> str:
+    """Spark-side (doc_id, sig) table feeding signature-typed operators
+    (the pigeonhole all-pairs product operator, hamming k-NN)."""
+    return f"WITH {_simhash_ctes(SPARK)}\nSELECT doc_id, sig FROM sim"
+
+
+def q_substring_pairs_duck(min_len: int) -> str:
+    """DuckDB oracle for the winnowing exact-substring operator over the
+    gate's derived corpus (base docs + two planted block variants per
+    doc_id % 9 = 0; block = text repeated 12x space-joined).
+
+    The planted pair (base+1e6, base+2e6) shares exactly
+    'prefix ' + BLK + ' suffix'  vs  BLK + ' tail end'
+    whose longest common substring is BLK plus the following space:
+    12*length(text) + 11 + 1. Base docs never qualify: their longest share
+    with a planted variant is length(text) < min_len (min_len is chosen
+    above the max doc length). The operator's anchored byte-extension
+    provably recovers exactly this length (anchors inside BLK extend left
+    to BLK's start and right through the trailing space)."""
+    return f"""SELECT CAST(doc_id + 1000000 AS BIGINT) AS u,
+       CAST(doc_id + 2000000 AS BIGINT) AS v,
+       CAST(12 * length(text) + 12 AS BIGINT) AS match_len
+FROM documents
+WHERE doc_id % 9 = 0 AND 12 * length(text) + 12 >= {min_len}"""
+
+
+def q_media_features_duck() -> str:
+    """DuckDB oracle for byte-feature extraction over text payloads.
+
+    Integer-exact features only (byte sums are exact in both engines;
+    byte_mean is ONE IEEE division of exact ints — bit-identical). The
+    operator's entropy/histogram floats are pytest-verified instead (float
+    sums are order-dependent, so they can't face a value-hash gate)."""
+    return """WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents
+),
+b AS (
+  SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) AS byte FROM pos
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bytes,
+         CAST(SUM(byte) AS BIGINT) AS byte_sum,
+         CAST(COUNT(DISTINCT byte) AS BIGINT) AS n_distinct_bytes
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id AS media_id, 'text/plain' AS media_type, n_bytes, byte_sum,
+       n_distinct_bytes,
+       CAST(byte_sum AS DOUBLE) / CAST(n_bytes AS DOUBLE) AS byte_mean
+FROM agg"""
+
+
+def q_knn_lsh_recall_duck(min_recall_pct: int) -> str:
+    """DuckDB oracle for the approximate-path accuracy gate: the Spark side
+    computes recall@k of knn_lsh vs exact angular top-k and emits
+    recall_pass = 1 iff recall >= min_recall_pct/100 — the thresholded
+    accuracy contract of the reference's test/accuracy_test.py:89 and
+    test/angular_index_test.py:106-141. The oracle asserts the contract
+    (pass = 1); a recall regression value-hash-fails the gate."""
+    return f"""SELECT CAST({KNN_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST({min_recall_pct} AS BIGINT) AS min_recall_pct,
+       CAST(1 AS BIGINT) AS recall_pass
+FROM embeddings"""
+
+
 def q_minhash_jaccard_estimate(d: Dialect) -> str:
     """MinHash agreement as a Jaccard estimator next to the exact value —
     the estimator/exact relationship Annoy's precision harness measures
@@ -608,6 +716,8 @@ TEMPLATES = {
     "knn_dot_topk": q_knn_dot_topk,
     "knn_cosine_topk": q_knn_cosine_topk,
     "knn_euclidean_topk": q_knn_euclidean_topk,
+    "knn_hamming_topk": q_knn_hamming_topk,
+    "knn_manhattan_topk": q_knn_manhattan_topk,
     "knn_by_vector": q_knn_by_vector,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "dedup_stats": q_dedup_stats,

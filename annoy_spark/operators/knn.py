@@ -4,13 +4,25 @@
   1228-1236) -> top-k joins over a (vec_id, embedding) DataFrame;
 - the forest candidate generator (annoylib.h:1447-1480) -> random-hyperplane
   LSH bucketing: n_tables independent sign-bit keys, candidates = co-bucketed
-  rows in >= 1 table, exact re-rank on the candidates (annoylib.h:1492-1494).
+  rows in >= 1 table, exact re-rank on the candidates (annoylib.h:1492-1494);
+- metrics: angular sqrt(2-2cos) (annoylib.h:475-517), dot -<x,y>
+  (annoylib.h:571-586), euclidean (annoylib.h:192-202), manhattan
+  (annoylib.h:184-189), hamming popcount over packed int64 words
+  (annoylib.h:736-743);
+- MIPS on the approximate path via the Bachrach reduction
+  (annoylib.h:605-703): items augmented with sqrt(M^2-|x|^2), queries with 0,
+  so max-inner-product becomes min-angular over the augmented space.
 
 Brute force is the small/medium path (exact, one shuffle-free broadcast
 join); LSH is the 10^12-row path (bucket join, cost ~ bucket sizes, recall
 tunable by n_tables x n_bits exactly like n_trees x leaf size).
 
-Angular distance matches annoy: dist = sqrt(2 - 2*cos) (annoylib.h:475-517).
+Scale defense: degenerate embedding dumps (many identical vectors) create
+mega-buckets whose self-join is O(g^2). Buckets above `bucket_cap` are
+salted into ~gsize/cap random sub-buckets — the same move as Annoy's
+split-imbalance fallback (annoylib.h:1337-1425: when a hyperplane can't
+split a node, items are sent to random sides), trading bounded recall loss
+inside pathological buckets for a hard cost cap.
 """
 
 from __future__ import annotations
@@ -54,26 +66,54 @@ def knn_bruteforce(
 
     queries is expected small (broadcast side); items is the big relation —
     the join is a broadcast nested loop, no shuffle of `items`.
+
+    metric="hamming" expects vec_col to be an array of packed int64 words
+    (annoy's packed bit vectors, annoymodule.cc:67-130); distance is the
+    popcount of the XOR (annoylib.h:736-743).
     """
-    it = with_unit_vectors(items, vec_col).select(
-        F.col(id_col).alias("nid"), F.col("unit_vec").alias("nv"),
-        F.col(vec_col).cast("array<double>").alias("nraw"),
-    )
-    qs = with_unit_vectors(queries, vec_col).select(
-        F.col(id_col).alias("qid"), F.col("unit_vec").alias("qv"),
-        F.col(vec_col).cast("array<double>").alias("qraw"),
-    )
-    pairs = it.join(F.broadcast(qs), F.col("nid") != F.col("qid"))
-    if metric == "angular":
-        # annoy normalized angular distance: sqrt(max(2-2cos, 0))
-        d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
-    elif metric == "dot":
-        d = -_dot("qraw", "nraw")  # annoylib.h:656-659 (-dot, sorted asc)
-    elif metric == "euclidean":
-        diff = F.zip_with("qraw", "nraw", lambda x, y: x - y)
-        d = F.sqrt(F.greatest(F.lit(0.0), _norm2(diff)))
+    if metric == "hamming":
+        it = items.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nraw")
+        )
+        qs = queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qraw")
+        )
+        pairs = it.join(F.broadcast(qs), F.col("nid") != F.col("qid"))
+        d = F.aggregate(
+            F.zip_with(
+                "qraw", "nraw",
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
     else:
-        raise ValueError(f"unknown metric {metric}")
+        it = with_unit_vectors(items, vec_col).select(
+            F.col(id_col).alias("nid"), F.col("unit_vec").alias("nv"),
+            F.col(vec_col).cast("array<double>").alias("nraw"),
+        )
+        qs = with_unit_vectors(queries, vec_col).select(
+            F.col(id_col).alias("qid"), F.col("unit_vec").alias("qv"),
+            F.col(vec_col).cast("array<double>").alias("qraw"),
+        )
+        pairs = it.join(F.broadcast(qs), F.col("nid") != F.col("qid"))
+        if metric == "angular":
+            # annoy normalized angular distance: sqrt(max(2-2cos, 0))
+            d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
+        elif metric == "dot":
+            d = -_dot("qraw", "nraw")  # annoylib.h:656-659 (-dot, sorted asc)
+        elif metric == "euclidean":
+            diff = F.zip_with("qraw", "nraw", lambda x, y: x - y)
+            d = F.sqrt(F.greatest(F.lit(0.0), _norm2(diff)))
+        elif metric == "manhattan":
+            # annoylib.h:184-189: sum |x-y|
+            d = F.aggregate(
+                F.zip_with("qraw", "nraw", lambda x, y: F.abs(x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+        else:
+            raise ValueError(f"unknown metric {metric}")
     scored = pairs.select("qid", "nid", d.alias("distance"))
     w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
     return (
@@ -107,6 +147,26 @@ def hyperplane_keys_udf(dim: int, n_tables: int, n_bits: int, seed: int):
     return keys
 
 
+def _cap_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
+    """Salt oversized buckets into ~gsize/cap random sub-buckets.
+
+    Annoy's imbalance fallback (annoylib.h:1337-1425) assigns items to
+    random sides when a node won't split; here the salt IS that random
+    side. Sub-bucketing bounds the self-join at O(g * cap) instead of
+    O(g^2); recall inside a salted bucket degrades gracefully (a pair
+    co-occurs with probability cap/gsize per table, recovered across the
+    other n_tables-1 tables).
+    """
+    w = Window.partitionBy("bucket")
+    sized = buckets.withColumn("gsize", F.count(F.lit(1)).over(w))
+    n_sub = F.ceil(F.col("gsize") / F.lit(bucket_cap)).cast("long")
+    salt = F.when(
+        F.col("gsize") > bucket_cap,
+        F.pmod(F.xxhash64(F.col("id"), F.col("bucket")), n_sub),
+    ).otherwise(F.lit(0).cast("long"))
+    return sized.withColumn("salt", salt).drop("gsize")
+
+
 def knn_lsh(
     items: DataFrame,
     k: int,
@@ -115,35 +175,89 @@ def knn_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "angular",
+    bucket_cap: int = 2000,
 ) -> DataFrame:
-    """All-items approximate top-k by angular distance: (qid, nid, rank,
-    distance). Candidates = pairs sharing >= 1 hyperplane bucket; exact
-    re-rank on candidates only (annoy semantics: trees propose, the true
-    metric decides)."""
-    dim = len(items.select(vec_col).first()[0])
-    keys = hyperplane_keys_udf(dim, n_tables, n_bits, seed)
+    """All-items approximate top-k: (qid, nid, rank, distance). Candidates =
+    pairs sharing >= 1 hyperplane (sub-)bucket; exact re-rank on candidates
+    only (annoy semantics: trees propose, the true metric decides).
 
-    base = with_unit_vectors(items, vec_col).select(
-        F.col(id_col).alias("id"),
-        F.col("unit_vec"),
-        keys(F.col(vec_col).cast("array<double>")).alias("keys"),
-    )
-    buckets = base.select(
-        "id", "unit_vec", F.explode("keys").alias("bucket")
-    )
-    cand = (
-        buckets.alias("a")
-        .join(buckets.alias("b"), "bucket")
-        .where(F.col("a.id") != F.col("b.id"))
-        .select(
-            F.col("a.id").alias("qid"),
-            F.col("b.id").alias("nid"),
-            F.col("a.unit_vec").alias("qv"),
-            F.col("b.unit_vec").alias("nv"),
+    metric="angular": distance = sqrt(2-2cos) over unit vectors.
+    metric="dot": MIPS via the Bachrach reduction (annoylib.h:605-703) —
+    item vectors get an extra coordinate sqrt(M^2-|x|^2) (M = max norm),
+    query vectors an extra 0; angular buckets over the augmented space
+    propose, exact -<q,n> re-ranks. distance = -dot (ascending = best).
+    """
+    dim = len(items.select(vec_col).first()[0])
+
+    if metric == "dot":
+        raw = F.col(vec_col).cast("array<double>")
+        # one scalar aggregate (metadata-scale collect, like the dim probe)
+        max_n2 = items.select(
+            F.max(_norm2(raw)).alias("m")
+        ).first()["m"] or 0.0
+        aug_item = F.concat(
+            raw,
+            F.array(F.sqrt(F.greatest(F.lit(0.0), F.lit(max_n2) - _norm2(raw)))),
         )
-        .dropDuplicates(["qid", "nid"])
-    )
-    d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
+        aug_query = F.concat(raw, F.array(F.lit(0.0)))
+        keys = hyperplane_keys_udf(dim + 1, n_tables, n_bits, seed)
+        base = items.select(
+            F.col(id_col).alias("id"),
+            raw.alias("raw"),
+            keys(aug_item).alias("ikeys"),
+            keys(aug_query).alias("qkeys"),
+        )
+        qbuckets = _cap_buckets(
+            base.select("id", F.col("raw").alias("qraw"),
+                        F.explode("qkeys").alias("bucket")),
+            bucket_cap,
+        )
+        ibuckets = _cap_buckets(
+            base.select("id", F.col("raw").alias("nraw"),
+                        F.explode("ikeys").alias("bucket")),
+            bucket_cap,
+        )
+        cand = (
+            qbuckets.alias("a")
+            .join(ibuckets.alias("b"), ["bucket", "salt"])
+            .where(F.col("a.id") != F.col("b.id"))
+            .select(
+                F.col("a.id").alias("qid"),
+                F.col("b.id").alias("nid"),
+                F.col("a.qraw").alias("qv"),
+                F.col("b.nraw").alias("nv"),
+            )
+            .dropDuplicates(["qid", "nid"])
+        )
+        d = -_dot("qv", "nv")
+    elif metric == "angular":
+        keys = hyperplane_keys_udf(dim, n_tables, n_bits, seed)
+        base = with_unit_vectors(items, vec_col).select(
+            F.col(id_col).alias("id"),
+            F.col("unit_vec"),
+            keys(F.col(vec_col).cast("array<double>")).alias("keys"),
+        )
+        buckets = _cap_buckets(
+            base.select("id", "unit_vec", F.explode("keys").alias("bucket")),
+            bucket_cap,
+        )
+        cand = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), ["bucket", "salt"])
+            .where(F.col("a.id") != F.col("b.id"))
+            .select(
+                F.col("a.id").alias("qid"),
+                F.col("b.id").alias("nid"),
+                F.col("a.unit_vec").alias("qv"),
+                F.col("b.unit_vec").alias("nv"),
+            )
+            .dropDuplicates(["qid", "nid"])
+        )
+        d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
+    else:
+        raise ValueError(f"knn_lsh supports metric in ('angular','dot'), got {metric}")
+
     scored = cand.select("qid", "nid", d.alias("distance"))
     w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
     return (

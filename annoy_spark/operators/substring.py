@@ -15,8 +15,17 @@ built across executors without an all-to-all of the corpus):
    fingerprint, regardless of alignment. Fully vectorized (prefix-product
    rolling hash + block prefix/suffix minima), ~2·len/window fingerprints
    per file.
-2. Fingerprint groupBy -> anchor pairs (same tiered skew ladder as banding).
-3. EXACT verification: join the pair's contents, extend the anchor left and
+2. Fingerprint groupBy -> anchor pairs through the SAME three-tier skew
+   ladder as banding (full pairs / star / salted two-level star, nothing
+   dropped; huge fingerprint families additionally accounted).
+3. DIAGONAL VOTING anchor selection: a shared block aligns the two files at
+   one offset delta = pos_u - pos_v, and every shared fingerprint inside
+   the block votes for that delta (the seed-and-extend diagonal trick).
+   Repeated content can winnow DIFFERENT occurrences of the same gram in
+   the two files (a misaligned anchor under-extends), so each fingerprint
+   keeps up to 16 positions and anchors are taken from the top-2 voted
+   diagonals — the dominant diagonal is the true alignment.
+4. EXACT verification: join the pair's contents, extend the anchor left and
    right byte-by-byte (vectorized mismatch scan); pass iff the real match
    length >= min_substring_len. Anchors are real text matches, so hash
    collisions only cost a failed verification — never a false positive
@@ -116,20 +125,36 @@ def winnow(hashes: np.ndarray, w: int) -> np.ndarray:
     return np.flatnonzero(hashes == cover_max)
 
 
+MAX_POS_PER_HASH = 16
+
+
 def fingerprint_positions(
-    text: str, chunk: int, window: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """(hashes, positions) of winnowed fingerprints for one document."""
+    text: str, chunk: int, window: int, max_pos: int = MAX_POS_PER_HASH
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """(distinct_hashes, positions_per_hash) of winnowed fingerprints.
+
+    ALL selected occurrences of a hash are kept (capped at max_pos: first
+    and last max_pos/2 — repeats beyond that add no new diagonals worth
+    voting on), because winnowing may select occurrence #k of a repeated
+    gram in one file and occurrence #j in the other; single-position
+    anchors would then under-extend (or miss) the true match."""
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     grams = rolling_gram_hashes(data, chunk)
     if len(grams) == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int64), []
     mixed = _mix64(grams)
     pos = winnow(mixed, window)
     h = mixed[pos].view(np.int64)
-    # dedupe identical hashes within a doc, keep first position as anchor
-    uniq, first = np.unique(h, return_index=True)
-    return uniq, pos[first]
+    order = np.lexsort((pos, h))
+    hs, ps = h[order], pos[order].astype(np.int64)
+    uniq, start, counts = np.unique(hs, return_index=True, return_counts=True)
+    idx = np.arange(len(hs)) - np.repeat(start, counts)
+    size = np.repeat(counts, counts)
+    half = max_pos // 2
+    keep = (idx < half) | (idx >= size - half)
+    kept_counts = np.minimum(counts, 2 * half)
+    splits = np.cumsum(kept_counts)[:-1]
+    return uniq, np.split(ps[keep], splits)
 
 
 def make_fingerprint_udf(cfg: DedupConfig):
@@ -137,7 +162,7 @@ def make_fingerprint_udf(cfg: DedupConfig):
     schema = StructType(
         [
             StructField("fp", ArrayType(LongType())),
-            StructField("fp_pos", ArrayType(LongType())),
+            StructField("fp_pos", ArrayType(ArrayType(LongType()))),
         ]
     )
 
@@ -149,7 +174,7 @@ def make_fingerprint_udf(cfg: DedupConfig):
                 t or "", cfg.substring_chunk, window
             )
             hs.append(h)
-            ps.append(p.astype(np.int64))
+            ps.append([x for x in p])
         return pd.DataFrame({"fp": hs, "fp_pos": ps})
 
     return fp_udf
@@ -184,9 +209,11 @@ def make_extend_verifier(cfg: DedupConfig):
                         left = int(np.argmax(seg2)) if seg2.any() else m2
                     else:
                         left = 0
+                    # no early break at min_len: match_len reports the TRUE
+                    # maximal extension, and anchors on a period-shifted
+                    # diagonal under-extend — a later aligned anchor must
+                    # still get its chance (<=8 anchors, scans are cheap)
                     best = max(best, left + right)
-                    if best >= min_len:
-                        break
                 if best >= min_len:
                     rows.append((r.u, r.v, best))
             yield pd.DataFrame(rows, columns=["u", "v", "match_len"])
@@ -194,25 +221,38 @@ def make_extend_verifier(cfg: DedupConfig):
     return verify_batch
 
 
+# broadcast the anchored pair set only while it stays comfortably in
+# memory: rows are (u, v, <=8+8 positions) ~ 150 B -> 500k ~ 75 MB
+PAIR_BROADCAST_CAP = 500_000
+
+
 def substring_edges(
     corpus_with_ids: DataFrame,
     cfg: DedupConfig,
-    broadcast_pairs: bool = True,
-) -> DataFrame:
+    broadcast_pairs: bool | None = None,
+    return_skipped: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """(u, v, match_len) pairs sharing a verbatim block >= min_substring_len.
 
     corpus_with_ids: (file_id, content) — pass sha-collapsed representatives
     to keep fingerprint groups free of exact-duplicate blowup.
 
-    broadcast_pairs=True broadcasts the candidate pair set (and its one-side
-    contents) through the verification joins so the corpus content is only
-    streamed. Set False when the candidate pair count is huge relative to
-    executor memory — AQE then picks shuffle strategy."""
+    broadcast_pairs=None (default) decides adaptively from the materialized
+    anchored-pair count. Content is NEVER broadcast: the pair-id set
+    broadcast-semi-filters the corpus, then two bounded sides shuffle-join —
+    worst case is a shuffle of candidate contents, not an executor OOM.
+
+    return_skipped=True additionally returns the huge-fingerprint-family
+    accounting DataFrame (fp, n_members) — families above band_group_cap
+    go through the salted star (nothing dropped) but are surfaced for skew
+    observability, exactly like banding's skipped_groups.
+    """
     fp_udf = make_fingerprint_udf(cfg)
 
-    # one UDF pass, window-annotated group stats, persisted: this small
-    # table (~2 rows/file) feeds three consumers — without persist the
-    # content-scanning UDF would re-run per consumer
+    # one UDF pass, one row per (file, distinct fingerprint hash) with the
+    # capped position list; window-annotated group stats; persisted because
+    # three tiers consume it (without persist the content-scanning UDF
+    # would re-run per consumer)
     w = Window.partitionBy("fp")
     fps = (
         corpus_with_ids.select(
@@ -223,7 +263,7 @@ def substring_edges(
         .select(
             "file_id",
             F.col("e.fp").alias("fp"),
-            F.col("e.fp_pos").alias("pos"),
+            F.col("e.fp_pos").alias("poss"),
         )
         .select(
             "*",
@@ -232,9 +272,11 @@ def substring_edges(
         )
         .select(
             "*",
-            F.min(
-                F.when(F.col("file_id") == F.col("gmin"), F.col("pos"))
-            ).over(w).alias("gmin_pos"),
+            # exactly one row per (file, fp): max(when(...)) picks the
+            # gmin row's position list deterministically
+            F.max(
+                F.when(F.col("file_id") == F.col("gmin"), F.col("poss"))
+            ).over(w).alias("gmin_poss"),
         )
         .persist()
     )
@@ -242,7 +284,7 @@ def substring_edges(
     # tier 1: full pairs in small groups (self-join reuses fp partitioning)
     in_small = fps.where(
         (F.col("gsize") > 1) & (F.col("gsize") <= cfg.pair_enum_cap)
-    ).select("fp", "file_id", "pos")
+    ).select("fp", "file_id", "poss")
     full_pairs = (
         in_small.alias("a")
         .join(in_small.alias("b"), "fp")
@@ -250,8 +292,8 @@ def substring_edges(
         .select(
             F.col("a.file_id").alias("u"),
             F.col("b.file_id").alias("v"),
-            F.col("a.pos").alias("pu"),
-            F.col("b.pos").alias("pv"),
+            F.col("a.poss").alias("pu_list"),
+            F.col("b.poss").alias("pv_list"),
         )
     )
     # tier 2: star edges to the group min — anchor positions directly from
@@ -263,34 +305,119 @@ def substring_edges(
     ).select(
         F.col("gmin").alias("u"),
         F.col("file_id").alias("v"),
-        F.col("gmin_pos").alias("pu"),
-        F.col("pos").alias("pv"),
+        F.col("gmin_poss").alias("pu_list"),
+        F.col("poss").alias("pv_list"),
     )
-    pairs = full_pairs.unionByName(star_pairs)
+    # tier 3: salted two-level star for huge fingerprint families
+    # (boilerplate/license blocks) — members point at a per-salt-bucket
+    # minimum, bucket minima at the family minimum; no reducer sees the
+    # whole family and nothing is dropped (band.py's ladder, same shape)
+    huge = fps.where(F.col("gsize") > cfg.band_group_cap).select(
+        "fp", "file_id", "poss", "gmin", "gmin_poss",
+        F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_buckets)).alias("salt"),
+    )
+    ws = Window.partitionBy("fp", "salt")
+    sub = huge.select(
+        "*", F.min("file_id").over(ws).alias("smin")
+    ).select(
+        "*",
+        F.max(
+            F.when(F.col("file_id") == F.col("smin"), F.col("poss"))
+        ).over(ws).alias("smin_poss"),
+    )
+    salted_pairs = (
+        sub.where(F.col("file_id") != F.col("smin"))
+        .select(
+            F.col("smin").alias("u"), F.col("file_id").alias("v"),
+            F.col("smin_poss").alias("pu_list"), F.col("poss").alias("pv_list"),
+        )
+        .unionByName(
+            sub.where(
+                (F.col("file_id") == F.col("smin"))
+                & (F.col("smin") != F.col("gmin"))
+            ).select(
+                F.col("gmin").alias("u"), F.col("smin").alias("v"),
+                F.col("gmin_poss").alias("pu_list"),
+                F.col("poss").alias("pv_list"),
+            )
+        )
+    )
+    skipped = (
+        fps.where(F.col("gsize") > cfg.band_group_cap)
+        .groupBy("fp")
+        .agg(F.first("gsize").alias("n_members"))
+    )
+    pairs = full_pairs.unionByName(star_pairs).unionByName(salted_pairs)
 
-    # up to 8 anchors per pair (a failed anchor must not hide a longer match)
-    w = Window.partitionBy("u", "v").orderBy("pu", "pv")
+    # DIAGONAL VOTING: every shared fingerprint occurrence pair votes for
+    # an alignment delta = pu - pv; the true shared block's diagonal gets
+    # one vote per in-block fingerprint, stray/misaligned combinations get
+    # few. Keep up to 8 anchors from the top-2 diagonals — misaligned
+    # anchors under-extend, so anchoring on the winning diagonal is what
+    # makes match_len the TRUE maximal length.
+    combos = (
+        pairs.select("u", "v", F.explode("pu_list").alias("pu"), "pv_list")
+        .select("u", "v", "pu", F.explode("pv_list").alias("pv"))
+        .dropDuplicates(["u", "v", "pu", "pv"])
+        .withColumn("delta", F.col("pu") - F.col("pv"))
+    )
+    wv = Window.partitionBy("u", "v", "delta")
+    wd = Window.partitionBy("u", "v")
     anchored = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 8)
+        combos.withColumn("votes", F.count(F.lit(1)).over(wv))
+        .withColumn(
+            "drank",
+            F.dense_rank().over(wd.orderBy(F.desc("votes"), "delta")),
+        )
+        .where(F.col("drank") <= 2)
+        # per-diagonal quota: ties between the true diagonal and its
+        # period-shifted twin are common on repetitive content — BOTH kept
+        # diagonals must contribute anchors, or the wrong one can claim
+        # every slot and the extension under-reports the match
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("u", "v", "drank").orderBy("pu", "pv")
+            ),
+        )
+        .where(F.col("rn") <= 4)
         .groupBy("u", "v")
         .agg(
             F.collect_list("pu").alias("pos_u"),
             F.collect_list("pv").alias("pos_v"),
         )
     )
+    # materialize the (small) anchored set once: cuts the UDF lineage so
+    # fps can be unpersisted, and gives an exact count for the adaptive
+    # broadcast decision
+    anchored = anchored.localCheckpoint(eager=True)
+    if broadcast_pairs is None:
+        broadcast_pairs = anchored.count() <= PAIR_BROADCAST_CAP
+    if return_skipped:
+        # consumed after fps is unpersisted -> cut its lineage now
+        skipped = skipped.localCheckpoint(eager=True)
+    fps.unpersist()
 
-    # candidate pairs are a tiny fraction of the corpus: broadcast them
-    # through both content joins so content is streamed, never shuffled
     content = corpus_with_ids.select("file_id", "content")
     if broadcast_pairs:
-        anchored = F.broadcast(anchored)
-    j1 = content.select(
-        F.col("file_id").alias("u"), F.col("content").alias("content_u")
-    ).join(anchored, "u")
-    if broadcast_pairs:
-        j1 = F.broadcast(j1)
-    joined = content.select(
-        F.col("file_id").alias("v"), F.col("content").alias("content_v")
-    ).join(j1, "v")
-    return joined.mapInPandas(make_extend_verifier(cfg), schema=_EXTEND_SCHEMA)
+        # broadcast-semi-filter the corpus down to candidate files (ids
+        # only cross the driver), then shuffle-join the two bounded sides
+        u_ids = anchored.select(F.col("u").alias("file_id")).distinct()
+        v_ids = anchored.select(F.col("v").alias("file_id")).distinct()
+        content_u = content.join(F.broadcast(u_ids), "file_id").select(
+            F.col("file_id").alias("u"), F.col("content").alias("content_u")
+        )
+        content_v = content.join(F.broadcast(v_ids), "file_id").select(
+            F.col("file_id").alias("v"), F.col("content").alias("content_v")
+        )
+        j1 = content_u.join(F.broadcast(anchored), "u")
+        joined = content_v.join(j1, "v")
+    else:
+        j1 = content.select(
+            F.col("file_id").alias("u"), F.col("content").alias("content_u")
+        ).join(anchored, "u")
+        joined = content.select(
+            F.col("file_id").alias("v"), F.col("content").alias("content_v")
+        ).join(j1, "v")
+    edges = joined.mapInPandas(make_extend_verifier(cfg), schema=_EXTEND_SCHEMA)
+    return (edges, skipped) if return_skipped else edges

@@ -22,7 +22,8 @@ from annoy_spark.operators.verify import verify
 from annoy_spark.sources.checkpoint import CheckpointStore
 
 STAGES = ("signatures", "candidate_edges", "skipped_groups",
-          "verified_edges", "substring_edges", "clusters")
+          "verified_edges", "substring_edges", "substring_skipped",
+          "clusters")
 
 
 @dataclass
@@ -100,7 +101,11 @@ def run_pipeline(
                 corpus.select(file_id_col().alias("file_id"), "content")
                 .join(reps, "file_id")
             )
-            return substring_edges(corpus_reps, cfg)
+            edges, skipped = substring_edges(
+                corpus_reps, cfg, return_skipped=True
+            )
+            store.write("substring_skipped", skipped)
+            return edges
 
         sub_edges = _stage(
             store, spark, "substring_edges", build_substring, metrics, resume

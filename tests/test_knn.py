@@ -69,6 +69,77 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.9, f"LSH recall {recall:.3f}"
 
 
+def test_bruteforce_manhattan_metric(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [3.0, 0.0]), (3, [0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = knn_bruteforce(
+        df, df.where("vec_id = 0"), k=3, metric="manhattan"
+    ).collect()
+    order = [(r.nid, r.distance) for r in sorted(got, key=lambda r: r.rank)]
+    assert order == [(1, 2.0), (2, 3.0), (3, 5.0)]
+
+
+def test_bruteforce_hamming_metric(spark):
+    # packed int64 words: annoy's Hamming metric (annoylib.h:736-743)
+    df = spark.createDataFrame(
+        [(0, [0b0000]), (1, [0b0001]), (2, [0b0111]), (3, [0b1111])],
+        "vec_id long, embedding array<long>",
+    )
+    got = knn_bruteforce(
+        df, df.where("vec_id = 0"), k=3, metric="hamming"
+    ).collect()
+    order = [(r.nid, r.distance) for r in sorted(got, key=lambda r: r.rank)]
+    assert order == [(1, 1.0), (2, 3.0), (3, 4.0)]
+
+
+def test_lsh_dot_mips_recall(spark):
+    """MIPS via the Bachrach reduction (annoylib.h:605-703): knn_lsh with
+    metric='dot' must recover the exact max-inner-product neighbors."""
+    rng = np.random.default_rng(11)
+    n, dim, k = 300, 12, 5
+    # varied norms make MIPS genuinely different from angular
+    vecs = rng.standard_normal((n, dim)) * rng.uniform(0.5, 3.0, (n, 1))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    exact = knn_bruteforce(df, df, k=k, metric="dot").collect()
+    approx = knn_lsh(df, k=k, n_tables=24, n_bits=4, seed=3,
+                     metric="dot").collect()
+    truth, found = {}, {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.nid)
+    for r in approx:
+        found.setdefault(r.qid, set()).add(r.nid)
+    hits = sum(len(truth[q] & found.get(q, set())) for q in truth)
+    recall = hits / (len(truth) * k)
+    assert recall >= 0.85, f"MIPS LSH recall {recall:.3f}"
+
+
+def test_lsh_mega_bucket_capped(spark):
+    """Degenerate embedding dump: thousands of IDENTICAL vectors land in one
+    bucket per table. With bucket_cap the self-join is bounded (sub-buckets
+    of <= cap) instead of O(g^2) — annoy's imbalance fallback
+    (annoylib.h:1337-1425). The query must finish and still return
+    neighbors for the distinct tail."""
+    n_dup, n_rest = 3000, 60
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n_dup)]
+    rng = np.random.default_rng(2)
+    rows += [
+        (n_dup + i, [float(x) for x in rng.standard_normal(4)])
+        for i in range(n_rest)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_lsh(df, k=3, n_tables=4, n_bits=2, seed=7, bucket_cap=100)
+    per_q = out.groupBy("qid").count().collect()
+    # every member of the mega-cluster still finds 3 zero-distance
+    # neighbors inside its salted sub-bucket
+    got = {r["qid"]: r["count"] for r in per_q}
+    assert sum(1 for q in range(n_dup) if got.get(q, 0) == 3) == n_dup
+
+
 def test_lsh_deterministic(spark):
     rng = np.random.default_rng(9)
     df = spark.createDataFrame(
