@@ -84,10 +84,14 @@ def verify(
     Candidates of kind 'exact' (sha-equal) pass by construction with
     jaccard=1, hamming=0; only 'lsh' candidates face the exact re-rank.
 
-    small_candidates=True broadcasts the edge set through both signature
-    joins (signatures are scanned twice but never shuffled) — right whenever
-    edges fit in memory; with huge edge sets leave False and let AQE pick
-    shuffle strategy + skew splitting.
+    small_candidates=True broadcasts ONLY edge-id sets (16 B/row — never
+    the shingle arrays): the edge list broadcast-joins against signatures
+    (signatures streamed, not shuffled), and the second join's signature
+    side is broadcast-semi-filtered down to candidate files first, so the
+    only shuffle moves candidate-file signatures. Shingle arrays are
+    ~KB/row, so broadcasting any joined intermediate (the round-1 shape)
+    could OOM executors at a few million edges; ids never can. With huge
+    edge sets leave False and let AQE pick strategy + skew splitting.
     """
     sig = signatures.select("file_id", "shingle_hashes", "simhash", "n_shingles")
 
@@ -99,26 +103,23 @@ def verify(
     candidates = candidates.where(F.col("kind") == "lsh").select("u", "v")
 
     cand = F.broadcast(candidates) if small_candidates else candidates
-    j1 = cand.join(
-        sig.select(
-            F.col("file_id").alias("u"),
-            F.col("shingle_hashes").alias("sh_u"),
-            F.col("simhash").alias("sim_u"),
-            F.col("n_shingles").alias("ns_u"),
-        ),
-        "u",
+    sig_u = sig.select(
+        F.col("file_id").alias("u"),
+        F.col("shingle_hashes").alias("sh_u"),
+        F.col("simhash").alias("sim_u"),
+        F.col("n_shingles").alias("ns_u"),
+    )
+    sig_v = sig.select(
+        F.col("file_id").alias("v"),
+        F.col("shingle_hashes").alias("sh_v"),
+        F.col("simhash").alias("sim_v"),
+        F.col("n_shingles").alias("ns_v"),
     )
     if small_candidates:
-        j1 = F.broadcast(j1)
-    joined = j1.join(
-        sig.select(
-            F.col("file_id").alias("v"),
-            F.col("shingle_hashes").alias("sh_v"),
-            F.col("simhash").alias("sim_v"),
-            F.col("n_shingles").alias("ns_v"),
-        ),
-        "v",
-    )
+        v_ids = candidates.select("v").distinct()
+        sig_v = sig_v.join(F.broadcast(v_ids), "v")
+    j1 = cand.join(sig_u, "u")
+    joined = j1.join(sig_v, "v")
     scored = joined.select(
         "u",
         "v",

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from annoy_spark.config import DedupConfig
+from annoy_spark.operators.band import all_candidate_edges
 from annoy_spark.operators.sign import sign
 from annoy_spark.operators.verify import verify
 
@@ -79,6 +80,13 @@ def incremental_dedup_stream(
             )
             .distinct()
         )
+        # duplicates AMONG the new files themselves (a burst of mirrored
+        # uploads lands in one batch): band the micro-batch against itself
+        # with the full tiered ladder — new_sigs is micro-batch-sized, so
+        # this is cheap. Cross-BATCH new-vs-new pairs still require a
+        # periodic snapshot rebuild folding the streamed files in (the
+        # documented dedup horizon of this design).
+        intra, _ = all_candidate_edges(new_sigs, cfg)
         all_sigs = static_signatures.select(
             "file_id", "shingle_hashes", "simhash", "n_shingles"
         ).unionByName(
@@ -87,7 +95,8 @@ def incremental_dedup_stream(
             )
         )
         edges = verify(
-            exact.unionByName(cand), all_sigs, cfg, small_candidates=True
+            exact.unionByName(cand).unionByName(intra),
+            all_sigs, cfg, small_candidates=True,
         )
         # idempotent per-batch sink: rerun of a failed batch overwrites
         edges.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
@@ -108,17 +117,30 @@ def exact_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    dedup_horizon: str = "24 hours",
 ) -> StreamingQuery:
     """First-writer-wins streaming exact dedup: emits each distinct
     content sha once with the first (repo, path, commit) that produced it.
-    State is managed by Structured Streaming (dropDuplicates on sha)."""
+
+    State is BOUNDED: dropDuplicatesWithinWatermark keeps a sha in the
+    state store only until the ingest-time watermark passes dedup_horizon,
+    so state size ~ arrival rate x horizon instead of growing with every
+    sha ever seen (a plain dropDuplicates would OOM the state store at
+    10^12-file ingest). The contract is therefore a dedup HORIZON: a
+    duplicate arriving more than dedup_horizon after its first copy is
+    re-emitted — downstream exact dedup (one sha groupBy in the batch
+    pipeline) reconciles those stragglers.
+    """
     stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(input_dir)
     firsts = (
         stream.select(
             "repo", "path", "commit",
             F.sha2(F.col("content"), 256).alias("content_sha"),
+            F.current_timestamp().alias("ingest_time"),
         )
-        .dropDuplicates(["content_sha"])
+        .withWatermark("ingest_time", dedup_horizon)
+        .dropDuplicatesWithinWatermark(["content_sha"])
+        .drop("ingest_time")
     )
     writer = (
         firsts.writeStream.format("parquet")

@@ -37,6 +37,30 @@ def test_kill_after_stage_then_resume(spark, tmp_path):
     assert got == want
 
 
+def test_invalidate_forces_recompute(spark, tmp_path):
+    """unbuild/unload analog (annoylib.h:1080-1165): invalidate() drops a
+    stage's validity stamp, so resume recomputes it (and its dependents are
+    rebuilt from the fresh DataFrame), while untouched stages still skip."""
+    from annoy_spark.sources.checkpoint import CheckpointStore
+
+    corpus, _ = generate_corpus(spark, 200, seed=7, partitions=4)
+    out = tmp_path / "ck"
+    r1 = run_pipeline(spark, corpus, CFG, str(out), resume=True)
+    want = {r.file_id: r.cluster_id for r in r1.clusters.collect()}
+
+    store = CheckpointStore(str(out), CFG)
+    assert store.exists("verified_edges")
+    store.invalidate("verified_edges")
+    assert not store.exists("verified_edges")
+    store.invalidate("clusters")
+
+    r2 = run_pipeline(spark, corpus, CFG, str(out), resume=True)
+    assert r2.metrics["signatures"]["resumed"] is True
+    assert r2.metrics["verified_edges"]["resumed"] is False
+    got = {r.file_id: r.cluster_id for r in r2.clusters.collect()}
+    assert got == want
+
+
 def test_band_group_cap_accounts_skipped(spark):
     """Groups above band_group_cap switch to salted two-level star
     enumeration (bounded edges, no recall cliff) and are accounted in the

@@ -92,6 +92,69 @@ def test_incremental_dedup_stream(spark, static_corpus, tmp_path):
     assert "exact" in kinds.get((b_id, new3_id), set()), kinds
 
 
+def test_incremental_stream_within_batch_dups(spark, static_corpus, tmp_path):
+    """Two near-identical NEW files in one micro-batch must be linked even
+    though neither matches anything in the static snapshot."""
+    corpus, base, other = static_corpus
+    static_sigs = sign(corpus, CFG).cache()
+    static_sigs.count()
+
+    text = " ".join(f"zeta{i} eta{i % 11} theta{i % 3}" for i in range(140))
+    inp = str(tmp_path / "in")
+    batch = _rows(
+        spark,
+        [
+            ("rn", "p.py", "c1", "python", text),
+            ("rn", "q.py", "c1", "python", text[25:]),   # near-dup of p.py
+            ("rn", "r.py", "c1", "python", text),        # exact dup of p.py
+        ],
+    )
+    batch.write.mode("append").parquet(inp)
+
+    q = incremental_dedup_stream(
+        spark, inp, static_sigs, str(tmp_path / "out"),
+        str(tmp_path / "ck"), CFG,
+    )
+    q.awaitTermination(120)
+    edges = spark.read.parquet(str(tmp_path / "out"))
+    ids = {
+        r.path: r.fid
+        for r in batch.select(
+            "path", F.xxhash64("repo", "path", "commit").alias("fid")
+        ).collect()
+    }
+    linked = {frozenset((r.u, r.v)) for r in edges.collect()}
+    assert frozenset((ids["p.py"], ids["r.py"])) in linked   # exact intra
+    assert frozenset((ids["p.py"], ids["q.py"])) in linked \
+        or frozenset((ids["q.py"], ids["r.py"])) in linked   # near intra
+
+
+def test_exact_dedup_stream_state_is_watermarked(spark, tmp_path):
+    """The dedup state must be horizon-bounded: the plan uses
+    dropDuplicatesWithinWatermark (event-time TTL), not an ever-growing
+    dropDuplicates, and the state row count tracks distinct in-horizon
+    shas."""
+    inp = str(tmp_path / "in")
+    _rows(
+        spark,
+        [("r1", f"f{i}.py", "c1", "python", f"bytes {i % 3}")
+         for i in range(30)],
+    ).write.mode("append").parquet(inp)
+
+    q = exact_dedup_stream(
+        spark, inp, str(tmp_path / "out"), str(tmp_path / "ck"),
+        dedup_horizon="10 seconds",
+    )
+    q.awaitTermination(120)
+    progress = q.lastProgress
+    op = progress["stateOperators"][0]
+    assert "dedupeWithinWatermark" in op["operatorName"], op["operatorName"]
+    # state holds one row per distinct sha (3), not one per input row (30)
+    assert op["numRowsTotal"] == 3, op
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 3
+
+
 def test_exact_dedup_stream_first_writer_wins(spark, tmp_path):
     inp = str(tmp_path / "in")
     _rows(
