@@ -23,7 +23,7 @@ built across executors without an all-to-all of the corpus):
    the block votes for that delta (the seed-and-extend diagonal trick).
    Repeated content can winnow DIFFERENT occurrences of the same gram in
    the two files (a misaligned anchor under-extends), so each fingerprint
-   keeps up to 16 positions and anchors are taken from the top-2 voted
+   keeps up to 8 positions and anchors are taken from the top-2 voted
    diagonals — the dominant diagonal is the true alignment.
 4. EXACT verification: join the pair's contents, extend the anchor left and
    right byte-by-byte (vectorized mismatch scan); pass iff the real match
@@ -125,7 +125,7 @@ def winnow(hashes: np.ndarray, w: int) -> np.ndarray:
     return np.flatnonzero(hashes == cover_max)
 
 
-MAX_POS_PER_HASH = 16
+MAX_POS_PER_HASH = 8
 
 
 def fingerprint_positions(
@@ -352,39 +352,41 @@ def substring_edges(
     # DIAGONAL VOTING: every shared fingerprint occurrence pair votes for
     # an alignment delta = pu - pv; the true shared block's diagonal gets
     # one vote per in-block fingerprint, stray/misaligned combinations get
-    # few. Keep up to 8 anchors from the top-2 diagonals — misaligned
+    # few. Keep the boundary anchors of the top-2 diagonals — misaligned
     # anchors under-extend, so anchoring on the winning diagonal is what
     # makes match_len the TRUE maximal length.
     combos = (
         pairs.select("u", "v", F.explode("pu_list").alias("pu"), "pv_list")
         .select("u", "v", "pu", F.explode("pv_list").alias("pv"))
-        .dropDuplicates(["u", "v", "pu", "pv"])
         .withColumn("delta", F.col("pu") - F.col("pv"))
     )
-    wv = Window.partitionBy("u", "v", "delta")
+    # one SMALL shuffle: vote count + two boundary anchors per diagonal,
+    # all map-side-combinable aggregates (count/min/max) — no combo array
+    # ever crosses the wire. ONE anchor on the true diagonal is enough:
+    # the byte extension recovers the full match from any in-block anchor.
+    diag = combos.groupBy("u", "v", "delta").agg(
+        F.count(F.lit(1)).alias("votes"),
+        F.min(F.struct("pu", "pv")).alias("a1"),
+        F.max(F.struct("pu", "pv")).alias("a2"),
+    ).withColumn("anchors", F.array("a1", "a2"))
+    # per-diagonal quota over the top-2 diagonals: ties between the true
+    # diagonal and its period-shifted twin are common on repetitive
+    # content — BOTH kept diagonals must contribute anchors, or the wrong
+    # one can claim every slot and the extension under-reports the match.
+    # The groupBy reuses the window's (u, v) partitioning — no 3rd shuffle.
     wd = Window.partitionBy("u", "v")
     anchored = (
-        combos.withColumn("votes", F.count(F.lit(1)).over(wv))
-        .withColumn(
+        diag.withColumn(
             "drank",
             F.dense_rank().over(wd.orderBy(F.desc("votes"), "delta")),
         )
         .where(F.col("drank") <= 2)
-        # per-diagonal quota: ties between the true diagonal and its
-        # period-shifted twin are common on repetitive content — BOTH kept
-        # diagonals must contribute anchors, or the wrong one can claim
-        # every slot and the extension under-reports the match
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("u", "v", "drank").orderBy("pu", "pv")
-            ),
-        )
-        .where(F.col("rn") <= 4)
         .groupBy("u", "v")
-        .agg(
-            F.collect_list("pu").alias("pos_u"),
-            F.collect_list("pv").alias("pos_v"),
+        .agg(F.flatten(F.collect_list("anchors")).alias("anc"))
+        .select(
+            "u", "v",
+            F.transform("anc", lambda x: x.pu).alias("pos_u"),
+            F.transform("anc", lambda x: x.pv).alias("pos_v"),
         )
     )
     # materialize the (small) anchored set once: cuts the UDF lineage so
@@ -400,17 +402,18 @@ def substring_edges(
 
     content = corpus_with_ids.select("file_id", "content")
     if broadcast_pairs:
-        # broadcast-semi-filter the corpus down to candidate files (ids
-        # only cross the driver), then shuffle-join the two bounded sides
-        u_ids = anchored.select(F.col("u").alias("file_id")).distinct()
+        # u side: broadcast the anchored pair set (ids + positions only)
+        # into a streamed content scan — no shuffle, no content broadcast.
+        # v side: broadcast-semi-filter content down to candidate files,
+        # then shuffle-join the two bounded sides; the only shuffled
+        # content belongs to candidate pairs.
         v_ids = anchored.select(F.col("v").alias("file_id")).distinct()
-        content_u = content.join(F.broadcast(u_ids), "file_id").select(
-            F.col("file_id").alias("u"), F.col("content").alias("content_u")
-        )
         content_v = content.join(F.broadcast(v_ids), "file_id").select(
             F.col("file_id").alias("v"), F.col("content").alias("content_v")
         )
-        j1 = content_u.join(F.broadcast(anchored), "u")
+        j1 = content.select(
+            F.col("file_id").alias("u"), F.col("content").alias("content_u")
+        ).join(F.broadcast(anchored), "u")
         joined = content_v.join(j1, "v")
     else:
         j1 = content.select(

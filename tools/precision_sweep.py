@@ -1,0 +1,92 @@
+"""Accuracy-per-budget sweep for the approximate k-NN path.
+
+The analog of the reference's examples/precision_test.py:11-46 (precision
+vs search_k) and test/accuracy_test.py thresholds: for a grid of
+(n_tables x n_bits) LSH budgets, measure recall@10 of knn_lsh against the
+exact angular top-10, plus the candidate-pair count (the cost knob — what
+search_k buys in Annoy, bucket width buys here). Writes
+BENCH/precision_sweep.{json,md} so later rounds can catch regressions in
+the approximate path.
+
+Usage: python tools/precision_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+K = 10
+GRID = [
+    (8, 8), (16, 8), (32, 8),
+    (8, 6), (16, 6), (32, 6),
+    (8, 4), (16, 4), (32, 4),
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from annoy_spark.operators.knn import knn_bruteforce, knn_lsh
+    from annoy_spark.session import get_spark
+
+    spark = get_spark("sweep", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n_items = emb.count()
+
+    exact = {
+        (r.qid, r.nid)
+        for r in knn_bruteforce(emb, emb, k=K).select("qid", "nid").collect()
+    }
+    rows = []
+    for n_tables, n_bits in GRID:
+        t0 = time.time()
+        approx = knn_lsh(
+            emb, k=K, n_tables=n_tables, n_bits=n_bits, seed=42
+        ).select("qid", "nid").collect()
+        dt = time.time() - t0
+        got = {(r.qid, r.nid) for r in approx}
+        recall = len(exact & got) / len(exact)
+        rows.append({
+            "n_tables": n_tables, "n_bits": n_bits,
+            "recall_at_10": round(recall, 4),
+            "result_pairs": len(got), "sec": round(dt, 2),
+        })
+        print(rows[-1])
+
+    out = {"sf_dir": sf_dir, "n_items": n_items, "k": K, "sweep": rows}
+    (REPO / "BENCH" / "precision_sweep.json").write_text(
+        json.dumps(out, indent=1)
+    )
+    md = [
+        "# Approximate k-NN accuracy-per-budget sweep",
+        "",
+        f"recall@{K} of `knn_lsh` vs exact angular top-{K} over "
+        f"`{sf_dir}/embeddings.parquet` ({n_items} UNSTRUCTURED random "
+        "vectors — LSH's worst case; structured corpora need far smaller "
+        "budgets, see tests/test_knn.py::test_lsh_recall_vs_bruteforce).",
+        "",
+        "The budget knobs mirror Annoy's: n_tables <-> n_trees, bucket "
+        "width (2^-n_bits) <-> search_k (examples/precision_test.py:11-46).",
+        "",
+        "| n_tables | n_bits | recall@10 | sec |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        md.append(
+            f"| {r['n_tables']} | {r['n_bits']} | {r['recall_at_10']:.3f} "
+            f"| {r['sec']} |"
+        )
+    md += ["", "Reproduce: `python tools/precision_sweep.py`", ""]
+    (REPO / "BENCH" / "precision_sweep.md").write_text("\n".join(md))
+    print("wrote BENCH/precision_sweep.{json,md}")
+
+
+if __name__ == "__main__":
+    main()
