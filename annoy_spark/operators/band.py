@@ -16,6 +16,20 @@ defenses mirror Annoy's split-imbalance fallback (annoylib.h:1337-1425):
    no single reducer materializes the group's pairs and nothing is dropped
    (the north rule's salted repartitioning). Huge groups are additionally
    *accounted* (skipped_groups checkpoint) for skew observability.
+
+KNOWN APPROXIMATION of tiers 2-3 (deliberate, same tradeoff as Annoy's
+random-side fallback): star edges are verified INDIVIDUALLY against the
+group minimum, so two members that are true near-duplicates of each other
+but both fail verification against gmin are not linked through this band
+group. This only bites when a band group is *heterogeneous* — a band
+collision between documents that aren't actually similar to the group min
+— which for groups past pair_enum_cap (>64 docs agreeing on 4 minhashes)
+is overwhelmingly boilerplate families where members DO verify against
+gmin. The pair still has bands-1 other chances to collide in a small
+group, the substring pass links long verbatim blocks independently, and
+capped groups are accounted in skipped_groups so the recall exposure is
+observable, not silent. Raising pair_enum_cap trades reducer cost for
+exact enumeration (config knob, per-deployment).
 """
 
 from __future__ import annotations

@@ -147,6 +147,43 @@ def hyperplane_keys_udf(dim: int, n_tables: int, n_bits: int, seed: int):
     return keys
 
 
+def pstable_keys_udf(
+    dim: int, n_tables: int, n_bits: int, seed: int, width: float, p: int
+):
+    """pandas UDF: embedding -> one E2LSH key per table (Datar et al. '04
+    p-stable projections — the data-independent stand-in for annoy's
+    two-means Euclidean/Manhattan splits, annoylib.h:849-891):
+
+        key bit_i = floor((<r_i, x> + b_i) / width),  r_i ~ p-stable
+
+    p=2 (Gaussian) preserves euclidean locality, p=1 (Cauchy) manhattan.
+    The n_bits quantized projections per table are mixed into one int64
+    bucket id; mixing collisions only add candidates (exact re-rank
+    decides, annoylib.h:1492-1494)."""
+    rng = np.random.default_rng([seed, 0xE2])
+    if p == 2:
+        planes = rng.standard_normal((n_tables, n_bits, dim))
+    else:
+        planes = rng.standard_cauchy((n_tables, n_bits, dim))
+    offsets = rng.uniform(0.0, width, (n_tables, n_bits))
+    mixers = rng.integers(1, 1 << 61, (n_bits,), dtype=np.int64) | 1
+    tsalt = rng.integers(0, 1 << 62, (n_tables,), dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = np.einsum("nd,tbd->ntb", mat, planes) + offsets
+        q = np.floor(proj / width).astype(np.int64)
+        mixed = (q * mixers).sum(axis=2, dtype=np.int64)  # wraparound mix
+        mixed ^= mixed >> 33
+        out = mixed ^ tsalt  # per-table stream separation
+        return pd.Series(list(out))
+
+    return keys
+
+
 def _cap_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
     """Salt oversized buckets into ~gsize/cap random sub-buckets.
 
@@ -177,6 +214,7 @@ def knn_lsh(
     vec_col: str = "embedding",
     metric: str = "angular",
     bucket_cap: int = 2000,
+    bucket_width: float = 2.0,
 ) -> DataFrame:
     """All-items approximate top-k: (qid, nid, rank, distance). Candidates =
     pairs sharing >= 1 hyperplane (sub-)bucket; exact re-rank on candidates
@@ -187,6 +225,10 @@ def knn_lsh(
     item vectors get an extra coordinate sqrt(M^2-|x|^2) (M = max norm),
     query vectors an extra 0; angular buckets over the augmented space
     propose, exact -<q,n> re-ranks. distance = -dot (ascending = best).
+    metric="euclidean"/"manhattan": p-stable E2LSH buckets (Gaussian /
+    Cauchy projections quantized by bucket_width — the data-independent
+    analog of annoy's two-means splits, annoylib.h:849-891), exact L2/L1
+    re-rank.
     """
     dim = len(items.select(vec_col).first()[0])
 
@@ -255,8 +297,46 @@ def knn_lsh(
             .dropDuplicates(["qid", "nid"])
         )
         d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
+    elif metric in ("euclidean", "manhattan"):
+        keys = pstable_keys_udf(
+            dim, n_tables, n_bits, seed, bucket_width,
+            p=2 if metric == "euclidean" else 1,
+        )
+        raw = F.col(vec_col).cast("array<double>")
+        base = items.select(
+            F.col(id_col).alias("id"), raw.alias("raw"),
+            keys(raw).alias("keys"),
+        )
+        buckets = _cap_buckets(
+            base.select("id", "raw", F.explode("keys").alias("bucket")),
+            bucket_cap,
+        )
+        cand = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), ["bucket", "salt"])
+            .where(F.col("a.id") != F.col("b.id"))
+            .select(
+                F.col("a.id").alias("qid"),
+                F.col("b.id").alias("nid"),
+                F.col("a.raw").alias("qv"),
+                F.col("b.raw").alias("nv"),
+            )
+            .dropDuplicates(["qid", "nid"])
+        )
+        if metric == "euclidean":
+            diff = F.zip_with("qv", "nv", lambda x, y: x - y)
+            d = F.sqrt(F.greatest(F.lit(0.0), _norm2(diff)))
+        else:
+            d = F.aggregate(
+                F.zip_with("qv", "nv", lambda x, y: F.abs(x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
     else:
-        raise ValueError(f"knn_lsh supports metric in ('angular','dot'), got {metric}")
+        raise ValueError(
+            "knn_lsh supports metric in ('angular','dot','euclidean',"
+            f"'manhattan'), got {metric}"
+        )
 
     scored = cand.select("qid", "nid", d.alias("distance"))
     w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))

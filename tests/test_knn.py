@@ -118,6 +118,37 @@ def test_lsh_dot_mips_recall(spark):
     assert recall >= 0.85, f"MIPS LSH recall {recall:.3f}"
 
 
+# bucket_width is the per-metric cost/recall knob (Cauchy projections have
+# heavy tails and L1 distances run ~sqrt(dim) larger, so manhattan needs a
+# wider quantization bucket than euclidean at equal recall)
+@pytest.mark.parametrize("metric,width", [("euclidean", 4.0),
+                                          ("manhattan", 16.0)])
+def test_lsh_pstable_recall(spark, metric, width):
+    """E2LSH (p-stable projections) for L2/L1 — the data-independent analog
+    of annoy's two-means euclidean/manhattan splits (annoylib.h:849-891),
+    thresholded against the exact metric like the reference's recall
+    ladders (test/euclidean_index_test.py:77-112)."""
+    rng = np.random.default_rng(21)
+    n, dim, k = 300, 16, 5
+    centers = rng.standard_normal((15, dim)) * 4
+    vecs = centers[np.arange(n) % 15] + rng.standard_normal((n, dim)) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    exact = knn_bruteforce(df, df, k=k, metric=metric).collect()
+    approx = knn_lsh(df, k=k, n_tables=16, n_bits=4, seed=5, metric=metric,
+                     bucket_width=width).collect()
+    truth, found = {}, {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.nid)
+    for r in approx:
+        found.setdefault(r.qid, set()).add(r.nid)
+    hits = sum(len(truth[q] & found.get(q, set())) for q in truth)
+    recall = hits / (len(truth) * k)
+    assert recall >= 0.85, f"{metric} E2LSH recall {recall:.3f}"
+
+
 def test_lsh_mega_bucket_capped(spark):
     """Degenerate embedding dump: thousands of IDENTICAL vectors land in one
     bucket per table. With bucket_cap the self-join is bounded (sub-buckets

@@ -58,15 +58,27 @@ def main() -> None:
                     lambda i: F.rand(42) ).alias("embedding"),
     )
 
+    from annoy_spark.operators.hamming_pairs import hamming_pairs
+    from annoy_spark.operators.knn import knn_lsh
+
     sections = {
         "SIGN stage (scan -> codegen string ops -> one ArrowEvalPython)":
             plan_of(sign(corpus, cfg)),
         "CANDIDATE stage (posexplode -> map-side-combined min/count -> "
         "tiered joins)": plan_of(all_candidate_edges(sigs_p, cfg)[0]),
-        "VERIFY stage (broadcast edges through both signature joins)":
+        "VERIFY stage (id-only broadcast + semi-filtered second join; "
+        "shingle arrays never broadcast)":
             plan_of(verify(cand_p, sigs_p, cfg, small_candidates=True)),
         "KNN brute force (broadcast queries, no shuffle of items)":
             plan_of(knn_bruteforce(emb, emb.limit(5), k=3)),
+        "KNN LSH (capped/salted bucket self-join, exact re-rank)":
+            plan_of(knn_lsh(emb, k=3, n_tables=4, n_bits=4)),
+        "HAMMING ALL-PAIRS (pigeonhole block equi-join, distinct-signature "
+        "collapse, popcount re-rank)":
+            plan_of(hamming_pairs(
+                sigs_p.select(F.col("file_id").alias("doc_id"),
+                              F.col("simhash").alias("sig")),
+                t=cfg.hamming_t, n_bits=cfg.simhash_bits)),
     }
 
     out = ["# PLANS — physical plan evidence (auto-generated)\n",
