@@ -109,6 +109,48 @@ def _hamming_pairs_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(sim, t=G.HAMMING_T, n_bits=G.SIMHASH_BITS)
 
 
+def _embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the LSH-bucketed embedding near-dup scale path
+    vs the exact theta-join over the same planted-copy corpus."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.knn import embedding_near_dup_pairs_lsh
+
+    _register(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    emb2 = emb.unionByName(
+        emb.where(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+        )
+    ).unionByName(
+        emb.where(F.col("vec_id") % 30 == 0).select(
+            (F.col("vec_id") + 2000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + 0.02).alias("embedding"),
+        )
+    )
+    lsh = embedding_near_dup_pairs_lsh(
+        emb2, min_cosine=0.99, n_tables=16, n_bits=8, seed=42
+    ).select("u", "v")
+    exact = spark.sql(
+        G.spark_sql_for("embedding_near_dup_pairs")
+    ).select("u", "v")
+    hits = exact.join(lsh, ["u", "v"], "left_semi")
+    stats = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return stats.select(
+        F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
+        F.lit(LSH_MIN_RECALL_PCT).cast("long").alias("min_recall_pct"),
+        (
+            F.col("n_hit") * 100 >= F.col("n_exact_pairs") * LSH_MIN_RECALL_PCT
+        ).cast("long").alias("recall_pass"),
+    )
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload byte-features via mapInPandas.
     Gate columns are the integer-exact subset (+ one-division byte_mean);
@@ -196,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cluster_size_hist"] = _cluster_size_hist
     # operator-backed gates with hand-built oracles
     out["knn_lsh_recall"] = _knn_lsh_recall
+    out["embedding_near_dup_recall"] = _embedding_near_dup_recall
     out["hamming_pairs_pigeonhole"] = _hamming_pairs_pigeonhole
     out["media_features"] = _media_features
     out["substring_pairs"] = _substring_pairs
@@ -207,6 +250,9 @@ def oracle_sql() -> dict[str, str]:
     out["duplicate_clusters"] = G.q_duplicate_clusters_duck()
     out["cluster_size_hist"] = G.q_cluster_size_hist_duck()
     out["knn_lsh_recall"] = G.q_knn_lsh_recall_duck(LSH_MIN_RECALL_PCT)
+    out["embedding_near_dup_recall"] = G.q_embedding_near_dup_recall_duck(
+        LSH_MIN_RECALL_PCT
+    )
     # the theta-join IS the pigeonhole operator's oracle (operator is exact)
     out["hamming_pairs_pigeonhole"] = G.duck_sql_for("simhash_hamming_pairs")
     out["media_features"] = G.q_media_features_duck()

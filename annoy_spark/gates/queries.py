@@ -516,6 +516,17 @@ def q_knn_lsh_recall_duck(min_recall_pct: int) -> str:
 FROM embeddings"""
 
 
+def q_embedding_near_dup_recall_duck(min_recall_pct: int) -> str:
+    """DuckDB oracle for the LSH-bucketed embedding near-dup scale path:
+    n_exact_pairs is recomputed exactly (the theta-join), and the contract
+    is recall of the LSH operator vs that exact set — a recall regression
+    OR a drift in the exact pair count value-hash-fails the gate."""
+    return f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       CAST({min_recall_pct} AS BIGINT) AS min_recall_pct,
+       CAST(1 AS BIGINT) AS recall_pass
+FROM ({q_embedding_near_dup_pairs(DUCK)}) t"""
+
+
 def q_minhash_jaccard_estimate(d: Dialect) -> str:
     """MinHash agreement as a Jaccard estimator next to the exact value —
     the estimator/exact relationship Annoy's precision harness measures

@@ -204,6 +204,53 @@ def _cap_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
     return sized.withColumn("salt", salt).drop("gsize")
 
 
+def embedding_near_dup_pairs_lsh(
+    items: DataFrame,
+    min_cosine: float = 0.99,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 2000,
+) -> DataFrame:
+    """Scale path for embedding-cosine near-duplicate pairs: (u, v, cosine)
+    with cosine >= min_cosine, u < v.
+
+    The O(n^2) theta-join twin (gates.queries.q_embedding_near_dup_pairs)
+    stays as the oracle; this operator proposes candidates through capped
+    random-hyperplane buckets (cost ~ bucket sizes, not n^2) and keeps the
+    exact-cosine re-rank as the decider (annoylib.h:1492-1494). Near-dup
+    vectors (cos -> 1) agree on almost every hyperplane sign, so recall at
+    min_cosine ~ 0.99 is near-perfect with a handful of tables."""
+    dim = len(items.select(vec_col).first()[0])
+    keys = hyperplane_keys_udf(dim, n_tables, n_bits, seed)
+    base = with_unit_vectors(items, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("unit_vec"),
+        keys(F.col(vec_col).cast("array<double>")).alias("keys"),
+    )
+    buckets = _cap_buckets(
+        base.select("id", "unit_vec", F.explode("keys").alias("bucket")),
+        bucket_cap,
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["bucket", "salt"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("u"),
+            F.col("b.id").alias("v"),
+            F.col("a.unit_vec").alias("qv"),
+            F.col("b.unit_vec").alias("nv"),
+        )
+        .dropDuplicates(["u", "v"])
+    )
+    return cand.select(
+        "u", "v", _dot("qv", "nv").alias("cosine")
+    ).where(F.col("cosine") >= min_cosine)
+
+
 def knn_lsh(
     items: DataFrame,
     k: int,

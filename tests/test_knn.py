@@ -9,7 +9,11 @@ import math
 import numpy as np
 import pytest
 
-from annoy_spark.operators.knn import knn_bruteforce, knn_lsh
+from annoy_spark.operators.knn import (
+    embedding_near_dup_pairs_lsh,
+    knn_bruteforce,
+    knn_lsh,
+)
 
 
 @pytest.fixture(scope="module")
@@ -169,6 +173,23 @@ def test_lsh_mega_bucket_capped(spark):
     # neighbors inside its salted sub-bucket
     got = {r["qid"]: r["count"] for r in per_q}
     assert sum(1 for q in range(n_dup) if got.get(q, 0) == 3) == n_dup
+
+
+def test_embedding_near_dup_lsh_finds_planted_copies(spark):
+    """Planted scaled copies (cos=1) and tiny perturbations must be found;
+    unrelated random vectors (cos << 0.99 at dim 32) must not."""
+    rng = np.random.default_rng(13)
+    n, dim = 200, 32
+    vecs = rng.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    rows += [(1000 + i, [float(x * 2.0) for x in vecs[i]])
+             for i in range(0, n, 10)]           # exact-direction copies
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.u, r.v)
+           for r in embedding_near_dup_pairs_lsh(df, 0.99, seed=4).collect()}
+    want = {(i, 1000 + i) for i in range(0, n, 10)}
+    assert want <= got
+    assert got == want, f"false positives: {got - want}"
 
 
 def test_lsh_deterministic(spark):
