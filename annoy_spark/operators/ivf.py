@@ -1,0 +1,178 @@
+"""IVF (inverted-file) approximate k-NN: data-ADAPTIVE coarse quantizer.
+
+The Spark re-expression of annoy's two_means data-adaptive splits
+(/root/reference/src/annoylib.h:363-403): where annoy recursively learns
+split planes from sampled pairs of points, IVF learns n_centroids cell
+centers from a bounded sample (Lloyd k-means on the driver — the standard
+coarse-quantizer training move, bounded like annoy's 200-step sampled
+two_means) and partitions the relation by nearest centroid:
+
+  items  -> assigned to their nearest cell        (1 row each)
+  queries-> probe their nprobe nearest cells      (nprobe rows each)
+  candidates = probe JOIN assignment ON cell      (equi-join, shuffle-friendly)
+  exact re-rank on candidates                     (annoylib.h:1492-1494)
+
+Skew defense (hot cells): cells larger than cell_cap are split into m
+random sub-cells; item rows hash into one sub-cell, probe rows REPLICATE
+across all m (replicated skew join) — no pair is lost and no reducer's
+input exceeds ~cell_cap. Note the tradeoff vs knn_lsh's salted buckets:
+replication keeps FULL recall inside hot cells, so total candidate volume
+for a hot cell stays quadratic (merely spread across m reducers). That is
+the right default for IVF's clustered-data regime; for degenerate
+exact-duplicate embedding dumps, collapse identical vectors upstream (the
+dedup pipeline's sha pre-collapse) or use knn_lsh's capped buckets, which
+trade bounded recall loss for a hard cost cap.
+
+Clustered corpora are exactly where IVF beats data-independent hyperplanes
+(the two_means motivation); unstructured data should use knn_lsh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from annoy_spark.operators.knn import _dot, _norm2, with_unit_vectors
+
+
+def train_centroids(
+    items: DataFrame,
+    n_centroids: int,
+    seed: int,
+    vec_col: str = "embedding",
+    metric: str = "angular",
+    max_train: int = 50_000,
+    sample_fraction: float = 0.2,
+    iters: int = 15,
+) -> np.ndarray:
+    """Lloyd k-means over a bounded driver-side sample (<= max_train rows —
+    the coarse quantizer is trained on a sample by construction, like
+    annoy's two_means over sampled points; never the full relation).
+    metric='angular' runs spherical k-means (unit centroids)."""
+    sample = (
+        items.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .limit(max_train)
+        .collect()
+    )
+    x = np.asarray([r.v for r in sample], dtype=np.float64)
+    if metric == "angular":
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.maximum(n, 1e-12)
+    rng = np.random.default_rng([seed, 0x1BF])
+    k = min(n_centroids, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        # assign: argmin squared L2 == argmax dot for unit vectors
+        d2 = ((x ** 2).sum(1)[:, None] - 2 * x @ cent.T
+              + (cent ** 2).sum(1)[None, :])
+        lab = d2.argmin(1)
+        for c in range(k):
+            m = lab == c
+            if m.any():
+                cent[c] = x[m].mean(0)
+            else:  # dead cell: re-seed from a random point
+                cent[c] = x[rng.integers(len(x))]
+        if metric == "angular":
+            cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                               1e-12)
+    return cent
+
+
+def _probe_udf(centroids: np.ndarray, nprobe: int, metric: str):
+    """pandas UDF: vector -> nprobe nearest centroid ids (first = nearest)."""
+    cent = centroids
+    c2 = (cent ** 2).sum(1)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if metric == "angular":
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.maximum(n, 1e-12)
+        d2 = (mat ** 2).sum(1)[:, None] - 2 * mat @ cent.T + c2[None, :]
+        order = np.argsort(d2, axis=1)[:, :nprobe].astype(np.int64)
+        return pd.Series(list(order))
+
+    return probes
+
+
+def knn_ivf(
+    items: DataFrame,
+    k: int,
+    n_centroids: int = 64,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "angular",
+    cell_cap: int = 50_000,
+    sample_fraction: float = 0.2,
+) -> DataFrame:
+    """All-items approximate top-k via IVF cells: (qid, nid, rank, distance).
+
+    metric in ('angular', 'euclidean'); exact re-rank in the true metric.
+    """
+    if metric not in ("angular", "euclidean"):
+        raise ValueError(f"knn_ivf supports angular/euclidean, got {metric}")
+    cent = train_centroids(
+        items, n_centroids, seed, vec_col, metric,
+        sample_fraction=sample_fraction,
+    )
+    probes = _probe_udf(cent, nprobe, metric)
+
+    base = with_unit_vectors(items, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("raw"),
+        F.col("unit_vec"),
+        probes(F.col(vec_col).cast("array<double>")).alias("cells"),
+    )
+    vec = "unit_vec" if metric == "angular" else "raw"
+    assign = base.select(
+        F.col("id").alias("nid"), F.col(vec).alias("nv"),
+        F.element_at("cells", 1).alias("cid"),
+    )
+    # hot-cell accounting + replicated skew join: items hash into one of m
+    # sub-cells, probes replicate across all m (no pair lost)
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("csize"))
+    sizes = sizes.select(
+        "cid",
+        F.greatest(F.lit(1), F.ceil(F.col("csize") / cell_cap))
+        .cast("long").alias("m"),
+    )
+    assign = assign.join(F.broadcast(sizes), "cid").select(
+        "cid", "nid", "nv",
+        F.pmod(F.xxhash64("nid", "cid"), F.col("m")).alias("salt"),
+    )
+    probe_rows = (
+        base.select(
+            F.col("id").alias("qid"), F.col(vec).alias("qv"),
+            F.explode("cells").alias("cid"),
+        )
+        .join(F.broadcast(sizes), "cid")
+        .select(
+            "cid", "qid", "qv",
+            F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("salt"),
+        )
+    )
+    cand = (
+        probe_rows.join(assign, ["cid", "salt"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", "qv", "nv")
+        .dropDuplicates(["qid", "nid"])
+    )
+    if metric == "angular":
+        d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
+    else:
+        diff = F.zip_with("qv", "nv", lambda x, y: x - y)
+        d = F.sqrt(F.greatest(F.lit(0.0), _norm2(diff)))
+    scored = cand.select("qid", "nid", d.alias("distance"))
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -276,6 +276,11 @@ def knn_lsh(
     Cauchy projections quantized by bucket_width — the data-independent
     analog of annoy's two-means splits, annoylib.h:849-891), exact L2/L1
     re-rank.
+    metric="hamming": vec_col is an array of packed int64 words; each
+    table samples n_bits random bit POSITIONS (annoy's axis-aligned
+    Hamming splits, annoylib.h:758-792) — keys are built entirely
+    JVM-side (shift/mask, whole-stage codegen, no UDF), exact popcount
+    re-rank.
     """
     dim = len(items.select(vec_col).first()[0])
 
@@ -379,10 +384,56 @@ def knn_lsh(
                 F.lit(0.0).cast("double"),
                 lambda acc, x: acc + x,
             )
+    elif metric == "hamming":
+        # dim here = number of 64-bit words; sample bit positions per table
+        n_sig_bits = dim * 64
+        rng = np.random.default_rng([seed, 0x4A11])
+        raw = F.col(vec_col)
+
+        def table_key(t: int) -> F.Column:
+            pos = rng.choice(n_sig_bits, size=min(n_bits, n_sig_bits),
+                             replace=False)
+            key = F.lit(t).cast("long")
+            for i, p in enumerate(sorted(int(x) for x in pos)):
+                w, off = divmod(p, 64)
+                bit = F.shiftrightunsigned(
+                    F.element_at(raw, w + 1), off
+                ).bitwiseAND(F.lit(1))
+                key = key + F.shiftleft(bit, 8 + i)
+            return key
+
+        base = items.select(
+            F.col(id_col).alias("id"), raw.alias("raw"),
+            F.array(*[table_key(t) for t in range(n_tables)]).alias("keys"),
+        )
+        buckets = _cap_buckets(
+            base.select("id", "raw", F.explode("keys").alias("bucket")),
+            bucket_cap,
+        )
+        cand = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), ["bucket", "salt"])
+            .where(F.col("a.id") != F.col("b.id"))
+            .select(
+                F.col("a.id").alias("qid"),
+                F.col("b.id").alias("nid"),
+                F.col("a.raw").alias("qv"),
+                F.col("b.raw").alias("nv"),
+            )
+            .dropDuplicates(["qid", "nid"])
+        )
+        d = F.aggregate(
+            F.zip_with(
+                "qv", "nv",
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
     else:
         raise ValueError(
             "knn_lsh supports metric in ('angular','dot','euclidean',"
-            f"'manhattan'), got {metric}"
+            f"'manhattan','hamming'), got {metric}"
         )
 
     scored = cand.select("qid", "nid", d.alias("distance"))

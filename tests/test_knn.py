@@ -153,6 +153,33 @@ def test_lsh_pstable_recall(spark, metric, width):
     assert recall >= 0.85, f"{metric} E2LSH recall {recall:.3f}"
 
 
+def test_lsh_hamming_recall(spark):
+    """Approximate Hamming k-NN: bit-sampling tables (annoy's axis-aligned
+    Hamming splits, annoylib.h:758-792), exact popcount re-rank. Keys are
+    pure JVM shift/mask — no UDF in the plan."""
+    rng = np.random.default_rng(31)
+    n, words, k = 300, 2, 5
+    base = rng.integers(0, 1 << 62, size=(15, words), dtype=np.int64)
+    rows = []
+    for i in range(n):
+        sig = base[i % 15].copy()
+        for b in rng.integers(0, 128, size=rng.integers(0, 6)):
+            sig[b // 64] ^= np.int64(1) << np.int64(b % 64)
+        rows.append((i, [int(w) for w in sig]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<long>")
+    exact = knn_bruteforce(df, df, k=k, metric="hamming").collect()
+    approx = knn_lsh(df, k=k, n_tables=16, n_bits=8, seed=6,
+                     metric="hamming").collect()
+    truth, found = {}, {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.nid)
+    for r in approx:
+        found.setdefault(r.qid, set()).add(r.nid)
+    hits = sum(len(truth[q] & found.get(q, set())) for q in truth)
+    recall = hits / (len(truth) * k)
+    assert recall >= 0.85, f"hamming LSH recall {recall:.3f}"
+
+
 def test_lsh_mega_bucket_capped(spark):
     """Degenerate embedding dump: thousands of IDENTICAL vectors land in one
     bucket per table. With bucket_cap the self-join is bounded (sub-buckets
