@@ -167,6 +167,67 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming incremental dedup, driven to completion
+    (availableNow) and read back from its sink: stream a derived new-file
+    batch against the static signature snapshot, emit verified
+    (static, new) edges keyed by path. Hamming acceptance is disabled in
+    the gate config so the accept set is exactly {sha-equal} ∪
+    {jaccard >= 0.8} — SQL-recomputable."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from annoy_spark.config import DedupConfig
+    from annoy_spark.operators.sign import sign
+    from annoy_spark.streaming.dedup_stream import incremental_dedup_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def corpus(prefix: str, df: DataFrame, content) -> DataFrame:
+        return df.select(
+            F.lit("r0").alias("repo"),
+            F.concat(F.lit(prefix), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("python").alias("lang"),
+            content.alias("content"),
+        )
+
+    static = corpus("doc", docs, F.col("text"))
+    new_batch = corpus(
+        "near", docs.where(F.col("doc_id") % 10 == 0),
+        F.expr("substr(text, 15)"),
+    ).unionByName(
+        corpus("copy", docs.where(F.col("doc_id") % 7 == 0), F.col("text"))
+    )
+
+    cfg = DedupConfig(simhash_min_shingles=1_000_000_000)  # jaccard-only
+    static_sigs = sign(static, cfg)
+    tmp = tempfile.mkdtemp(prefix="annoy_spark_stream_gate_")
+    new_batch.write.mode("overwrite").parquet(f"{tmp}/in")
+    q = incremental_dedup_stream(
+        spark, f"{tmp}/in", static_sigs, f"{tmp}/out", f"{tmp}/ck", cfg
+    )
+    q.awaitTermination(300)
+
+    edges = spark.read.parquet(f"{tmp}/out")
+    path_u = static.select(
+        F.xxhash64("repo", "path", "commit").alias("u"),
+        F.col("path").alias("path_u"),
+    )
+    path_v = new_batch.select(
+        F.xxhash64("repo", "path", "commit").alias("v"),
+        F.col("path").alias("path_v"),
+    )
+    # intra-batch edges (both ids new) drop out of the static-side join;
+    # a pair proposed by both the exact and lsh branches keeps 'exact'
+    return (
+        edges.join(path_u, "u").join(path_v, "v")
+        .groupBy("path_u", "path_v")
+        .agg(F.min("kind").alias("kind"))
+    )
+
+
 def _substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing exact-substring duplicate pairs over a derived corpus with
     planted verbatim blocks (block = the base doc's text repeated)."""
@@ -242,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["hamming_pairs_pigeonhole"] = _hamming_pairs_pigeonhole
     out["media_features"] = _media_features
     out["substring_pairs"] = _substring_pairs
+    out["streaming_dedup_edges"] = _streaming_dedup_edges
     return out
 
 
@@ -257,4 +319,5 @@ def oracle_sql() -> dict[str, str]:
     out["hamming_pairs_pigeonhole"] = G.duck_sql_for("simhash_hamming_pairs")
     out["media_features"] = G.q_media_features_duck()
     out["substring_pairs"] = G.q_substring_pairs_duck(SUBSTRING_MIN_LEN)
+    out["streaming_dedup_edges"] = G.q_streaming_dedup_edges_duck()
     return out

@@ -527,6 +527,66 @@ def q_embedding_near_dup_recall_duck(min_recall_pct: int) -> str:
 FROM ({q_embedding_near_dup_pairs(DUCK)}) t"""
 
 
+def q_streaming_dedup_edges_duck() -> str:
+    """DuckDB oracle for the incremental streaming dedup operator.
+
+    The Spark side streams a derived new-file batch (near-dup + exact-copy
+    variants of sampled documents) against a static signature snapshot and
+    emits verified (static, new) edges keyed by PATH (ids are engine
+    xxhash64 — not portable). The oracle recomputes the verified pair set
+    declaratively: kind='exact' iff byte-identical, else 'lsh' iff exact
+    shingle Jaccard >= threshold. The stream's hamming acceptance path is
+    disabled in the gate config, and band candidacy at (b=32, r=4) misses
+    a j>=0.8 pair with probability < 1e-7 — far below the value-hash
+    noise floor (base texts are unique at gate scale, so the stream's
+    min-id exact mapping is the only sha match)."""
+    d = DUCK
+    tok = d.tokens("text")
+    sh = d.array_distinct(d.shingles("t", SHINGLE_K))
+    return f"""WITH statics AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS pu, text FROM documents
+),
+news AS (
+  SELECT 'near' || CAST(doc_id AS VARCHAR) AS pv, substr(text, 15) AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'copy' || CAST(doc_id AS VARCHAR) AS pv, text
+  FROM documents WHERE doc_id % 7 = 0
+),
+st AS (SELECT pu, md5(text) AS h, {tok} AS t FROM statics),
+nt AS (SELECT pv, md5(text) AS h, {tok} AS t FROM news),
+sx AS (
+  SELECT pu, {d.explode('s_arr', 's')} FROM (
+    SELECT pu, {sh} AS s_arr FROM st WHERE {d.size('t')} >= 1
+  )
+),
+nx AS (
+  SELECT pv, {d.explode('s_arr', 's')} FROM (
+    SELECT pv, {sh} AS s_arr FROM nt WHERE {d.size('t')} >= 1
+  )
+),
+ssz AS (SELECT pu, COUNT(*) AS n FROM sx GROUP BY pu),
+nsz AS (SELECT pv, COUNT(*) AS n FROM nx GROUP BY pv),
+inter AS (
+  SELECT a.pu, b.pv, COUNT(*) AS ni
+  FROM sx a JOIN nx b ON b.s = a.s GROUP BY a.pu, b.pv
+),
+jac AS (
+  SELECT i.pu, i.pv,
+    CAST(i.ni AS DOUBLE) / CAST(su.n + sv.n - i.ni AS DOUBLE) AS j
+  FROM inter i
+  JOIN ssz su ON su.pu = i.pu
+  JOIN nsz sv ON sv.pv = i.pv
+),
+exacts AS (SELECT s.pu, n.pv FROM st s JOIN nt n ON n.h = s.h)
+SELECT pu AS path_u, pv AS path_v, 'exact' AS kind FROM exacts
+UNION ALL
+SELECT l.pu AS path_u, l.pv AS path_v, 'lsh' AS kind
+FROM jac l
+WHERE l.j >= {JACCARD_S}
+  AND NOT EXISTS (SELECT 1 FROM exacts e WHERE e.pu = l.pu AND e.pv = l.pv)"""
+
+
 def q_minhash_jaccard_estimate(d: Dialect) -> str:
     """MinHash agreement as a Jaccard estimator next to the exact value —
     the estimator/exact relationship Annoy's precision harness measures
