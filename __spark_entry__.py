@@ -109,6 +109,42 @@ def _hamming_pairs_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(sim, t=G.HAMMING_T, n_bits=G.SIMHASH_BITS)
 
 
+IVF_MIN_RECALL_PCT = 80
+
+
+def _knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the IVF coarse-quantizer path: recall@k of knn_ivf
+    vs exact angular top-k. The gate embeddings are UNSTRUCTURED random
+    vectors — IVF's worst case (cells cut neighborhoods arbitrarily), so
+    the contract threshold is lower than the LSH gate's; clustered-data
+    recall >= 0.9 is asserted in tests/test_ivf.py. Fully deterministic:
+    seeded sample + seeded Lloyd iterations."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.ivf import knn_ivf
+    from annoy_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    approx = knn_ivf(
+        emb, k=10, n_centroids=32, nprobe=16, seed=42, sample_fraction=1.0
+    ).select("qid", "nid")
+    exact = knn_bruteforce(emb, emb, k=10).select("qid", "nid")
+    hits = exact.join(approx, ["qid", "nid"], "left_semi")
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(emb.agg(F.count(F.lit(1)).alias("n_items")))
+    )
+    return stats.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.lit(IVF_MIN_RECALL_PCT).cast("long").alias("min_recall_pct"),
+        (
+            F.col("n_hit") * 100 >= F.col("n_exact") * IVF_MIN_RECALL_PCT
+        ).cast("long").alias("recall_pass"),
+    )
+
+
 def _embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall contract for the LSH-bucketed embedding near-dup scale path
     vs the exact theta-join over the same planted-copy corpus."""
@@ -299,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cluster_size_hist"] = _cluster_size_hist
     # operator-backed gates with hand-built oracles
     out["knn_lsh_recall"] = _knn_lsh_recall
+    out["knn_ivf_recall"] = _knn_ivf_recall
     out["embedding_near_dup_recall"] = _embedding_near_dup_recall
     out["hamming_pairs_pigeonhole"] = _hamming_pairs_pigeonhole
     out["media_features"] = _media_features
@@ -312,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
     out["duplicate_clusters"] = G.q_duplicate_clusters_duck()
     out["cluster_size_hist"] = G.q_cluster_size_hist_duck()
     out["knn_lsh_recall"] = G.q_knn_lsh_recall_duck(LSH_MIN_RECALL_PCT)
+    out["knn_ivf_recall"] = G.q_knn_lsh_recall_duck(IVF_MIN_RECALL_PCT)
     out["embedding_near_dup_recall"] = G.q_embedding_near_dup_recall_duck(
         LSH_MIN_RECALL_PCT
     )
