@@ -145,6 +145,74 @@ def _knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FOREST_MIN_RECALL_PCT = 90
+
+
+def _knn_forest_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the two_means RP-forest — annoy's actual index
+    structure (annoylib.h:363-403 two_means, 1344-1445 _make_tree,
+    1447-1480 traversal): recall@k of knn_forest vs the exact angular
+    top-k, emitted as recall_pass = 1 iff recall >= threshold. Fully
+    deterministic: seeded sample + seeded two_means streams."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.forest import knn_forest
+    from annoy_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    approx = knn_forest(
+        emb, k=10, n_trees=16, leaf_cap=32, seed=42, sample_fraction=1.0
+    ).select("qid", "nid")
+    exact = knn_bruteforce(emb, emb, k=10).select("qid", "nid")
+    hits = exact.join(approx, ["qid", "nid"], "left_semi")
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(emb.agg(F.count(F.lit(1)).alias("n_items")))
+    )
+    return stats.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.lit(FOREST_MIN_RECALL_PCT).cast("long").alias("min_recall_pct"),
+        (
+            F.col("n_hit") * 100 >= F.col("n_exact") * FOREST_MIN_RECALL_PCT
+        ).cast("long").alias("recall_pass"),
+    )
+
+
+MIPS_MIN_RECALL_PCT = 90
+
+
+def _knn_mips_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the approximate MIPS path — the Bachrach
+    reduction (annoylib.h:605-703): items augmented with
+    sqrt(M^2-|x|^2), queries with 0, angular buckets propose, exact
+    -<q,n> re-ranks. recall@k vs the exact dot top-k."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.knn import knn_bruteforce, knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    approx = knn_lsh(
+        emb, k=10, n_tables=32, n_bits=4, seed=42, metric="dot"
+    ).select("qid", "nid")
+    exact = knn_bruteforce(emb, emb, k=10, metric="dot").select("qid", "nid")
+    hits = exact.join(approx, ["qid", "nid"], "left_semi")
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(emb.agg(F.count(F.lit(1)).alias("n_items")))
+    )
+    return stats.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.lit(MIPS_MIN_RECALL_PCT).cast("long").alias("min_recall_pct"),
+        (
+            F.col("n_hit") * 100 >= F.col("n_exact") * MIPS_MIN_RECALL_PCT
+        ).cast("long").alias("recall_pass"),
+    )
+
+
 def _embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall contract for the LSH-bucketed embedding near-dup scale path
     vs the exact theta-join over the same planted-copy corpus."""
@@ -336,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operator-backed gates with hand-built oracles
     out["knn_lsh_recall"] = _knn_lsh_recall
     out["knn_ivf_recall"] = _knn_ivf_recall
+    out["knn_forest_recall"] = _knn_forest_recall
+    out["knn_mips_recall"] = _knn_mips_recall
     out["embedding_near_dup_recall"] = _embedding_near_dup_recall
     out["hamming_pairs_pigeonhole"] = _hamming_pairs_pigeonhole
     out["media_features"] = _media_features
@@ -350,6 +420,8 @@ def oracle_sql() -> dict[str, str]:
     out["cluster_size_hist"] = G.q_cluster_size_hist_duck()
     out["knn_lsh_recall"] = G.q_knn_lsh_recall_duck(LSH_MIN_RECALL_PCT)
     out["knn_ivf_recall"] = G.q_knn_lsh_recall_duck(IVF_MIN_RECALL_PCT)
+    out["knn_forest_recall"] = G.q_knn_lsh_recall_duck(FOREST_MIN_RECALL_PCT)
+    out["knn_mips_recall"] = G.q_knn_lsh_recall_duck(MIPS_MIN_RECALL_PCT)
     out["embedding_near_dup_recall"] = G.q_embedding_near_dup_recall_duck(
         LSH_MIN_RECALL_PCT
     )

@@ -1,0 +1,326 @@
+"""Annoy's actual index structure, Spark-first: a forest of recursive
+two-means split trees (random-projection trees).
+
+Reference semantics re-expressed:
+
+- ``two_means`` (/root/reference/src/annoylib.h:363-403): streaming
+  weighted 2-means over sampled points — two random seeds p, q; 200
+  iterations each pulling one random point toward the closer centroid
+  with 1/(count+1) step weighting.
+- ``create_split`` (annoylib.h:503-510 angular, 849-891 euclidean):
+  split plane normal = p - q (unit-normalized for angular); offset 0 for
+  angular, -<normal, (p+q)/2> for euclidean (annoy's ``n->a``); side =
+  margin > 0 (annoylib.h:487-501).
+- ``_make_tree`` (annoylib.h:1344-1445): recurse until a node holds
+  <= _K items; when a plane cannot split (imbalance > 0.95 after
+  retries), annoy sends items to random sides (annoylib.h:1407-1425) —
+  here the fallback is a seeded random Gaussian hyperplane, which routes
+  the FULL relation consistently (random sides for build-time items
+  would leave query routing undefined in a broadcast-tree design).
+- forest traversal (annoylib.h:1447-1480): every row is routed down
+  every tree with vectorized level-synchronous gathers (one einsum-free
+  gather + dot per level per batch — no per-row Python); candidates =
+  rows sharing a (tree, leaf) key in >= 1 tree, exact re-rank decides
+  (annoylib.h:1492-1494). ``spill_eps`` is the search_k analog: a query
+  descends BOTH children where |margin| <= spill_eps, widening the
+  candidate set exactly like annoy's priority-queue visiting more leaves.
+
+Scale shape: trees are built from a BOUNDED driver-side sample (annoy's
+two_means is itself sampled; the tree is a coarse router, not the data
+structure holding the rows) and broadcast inside the routing UDF closure —
+a few hundred KB for 32 trees at dim 64. Items never leave the executors:
+routing is one Arrow-batched pandas UDF pass, candidates come from a
+(tree, leaf) equi-join whose reducers are bounded by the same
+``_cap_buckets`` salting ladder as knn_lsh (a degenerate dump of identical
+vectors routes to one leaf per tree; the salt caps the self-join at
+O(g * cap) — annoy's imbalance fallback, annoylib.h:1337-1425).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from annoy_spark.operators.knn import (
+    _cap_buckets,
+    _dot,
+    _norm2,
+    with_unit_vectors,
+)
+
+_TWO_MEANS_ITERS = 200  # annoylib.h:366 (iteration_steps)
+_IMBALANCE_RETRIES = 3  # annoylib.h:1387 (attempt loop)
+_IMBALANCE_FRAC = 0.95  # annoylib.h:1385 (_split_imbalance threshold)
+
+
+@dataclass(frozen=True)
+class Tree:
+    """Flat node arrays; node 0 is the root. children[n] = (-1, -1) marks
+    a leaf; leaf key = node index. Mirrors annoy's flat ``_nodes`` array +
+    implicit child indices (annoylib.h:950-964)."""
+
+    normals: np.ndarray  # (n_nodes, dim) float64
+    offsets: np.ndarray  # (n_nodes,) float64
+    children: np.ndarray  # (n_nodes, 2) int64, margin>0 -> children[:, 1]
+
+
+def _two_means(x: np.ndarray, rng: np.random.Generator, angular: bool):
+    """annoylib.h:363-403: streaming weighted 2-means -> (p, q) centroids."""
+    n = len(x)
+    i = int(rng.integers(n))
+    j = int(rng.integers(n - 1))
+    j += j >= i
+    p, q = x[i].astype(np.float64).copy(), x[j].astype(np.float64).copy()
+    if angular:
+        p /= max(np.linalg.norm(p), 1e-30)
+        q /= max(np.linalg.norm(q), 1e-30)
+    ic, jc = 1.0, 1.0
+    ks = rng.integers(0, n, _TWO_MEANS_ITERS)
+    for k in ks:
+        z = x[k].astype(np.float64)
+        if angular:
+            nz = np.linalg.norm(z)
+            if nz < 1e-30:
+                continue
+            z = z / nz
+        di = ic * float(((p - z) ** 2).sum())
+        dj = jc * float(((q - z) ** 2).sum())
+        if di < dj:
+            p = (p * ic + z) / (ic + 1.0)
+            ic += 1.0
+            if angular:
+                p /= max(np.linalg.norm(p), 1e-30)
+        else:
+            q = (q * jc + z) / (jc + 1.0)
+            jc += 1.0
+            if angular:
+                q /= max(np.linalg.norm(q), 1e-30)
+    return p, q
+
+
+def _split_plane(x, rng, metric: str):
+    """create_split (annoylib.h:503-510, 849-891) -> (normal, offset)."""
+    angular = metric == "angular"
+    p, q = _two_means(x, rng, angular)
+    normal = p - q
+    nn = np.linalg.norm(normal)
+    if nn < 1e-30:
+        return None  # degenerate (p == q): caller falls back
+    if angular:
+        normal = normal / nn
+        offset = 0.0  # annoylib.h:509 (n->a implicit 0 for Angular)
+    else:
+        offset = float(-normal @ ((p + q) / 2.0))  # annoylib.h:887-890
+    return normal, offset
+
+
+def build_tree(
+    sample: np.ndarray,
+    seed: int,
+    leaf_cap: int,
+    metric: str = "angular",
+    max_depth: int = 30,
+) -> Tree:
+    """One annoy tree over a bounded sample: recursive two_means splits
+    (_make_tree, annoylib.h:1344-1445), iterative worklist instead of
+    recursion. leaf_cap is annoy's _K (items per leaf — here sample rows;
+    the downstream bucket salt enforces the hard cost cap on full data)."""
+    rng = np.random.default_rng([seed, 0xF0E])
+    dim = sample.shape[1]
+    normals, offsets, children = [], [], []
+    work = [(np.arange(len(sample)), 0, None)]  # (idx, depth, parent_slot)
+
+    def new_node() -> int:
+        normals.append(np.zeros(dim))
+        offsets.append(0.0)
+        children.append([-1, -1])
+        return len(children) - 1
+
+    while work:
+        idx, depth, slot = work.pop()
+        node = new_node()
+        if slot is not None:
+            parent, side = slot
+            children[parent][side] = node
+        if len(idx) <= leaf_cap or depth >= max_depth:
+            continue  # leaf
+        x = sample[idx]
+        plane = None
+        for _ in range(_IMBALANCE_RETRIES):
+            cand = _split_plane(x, rng, metric)
+            if cand is None:
+                continue
+            margins = x @ cand[0] + cand[1]
+            right = margins > 0
+            frac = max(right.mean(), 1.0 - right.mean())
+            if frac <= _IMBALANCE_FRAC:
+                plane, right_mask = cand, right
+                break
+        if plane is None:
+            # annoy's random-side fallback (annoylib.h:1407-1425), as a
+            # seeded random hyperplane so full-relation routing is defined
+            normal = rng.standard_normal(dim)
+            normal /= max(np.linalg.norm(normal), 1e-30)
+            margins = x @ normal
+            offset = float(-np.median(margins))  # balance the sample
+            plane = (normal, offset)
+            right_mask = margins + offset > 0
+            if right_mask.all() or not right_mask.any():
+                continue  # identical vectors: leaf; salt caps downstream
+        normals[node], offsets[node] = plane
+        # push right first so left is processed next (stable ordering)
+        work.append((idx[right_mask], depth + 1, (node, 1)))
+        work.append((idx[~right_mask], depth + 1, (node, 0)))
+
+    return Tree(
+        normals=np.asarray(normals, dtype=np.float64),
+        offsets=np.asarray(offsets, dtype=np.float64),
+        children=np.asarray(children, dtype=np.int64),
+    )
+
+
+def build_forest(
+    items: DataFrame,
+    n_trees: int = 8,
+    leaf_cap: int = 32,
+    seed: int = 42,
+    metric: str = "angular",
+    vec_col: str = "embedding",
+    max_sample: int = 50_000,
+    sample_fraction: float = 0.2,
+) -> list[Tree]:
+    """n_trees independent two_means trees from one bounded driver sample
+    (annoy builds each tree over all items — annoylib.h:1037-1078; a
+    router tree only needs a representative sample, and each tree draws
+    its own seed stream so the forest stays decorrelated)."""
+    sample = (
+        items.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .limit(max_sample)
+        .collect()
+    )
+    x = np.asarray([r.v for r in sample], dtype=np.float64)
+    if metric == "angular":
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    return [
+        build_tree(x, seed=seed * 10_007 + t, leaf_cap=leaf_cap, metric=metric)
+        for t in range(n_trees)
+    ]
+
+
+def forest_leaf_udf(trees: list[Tree], spill_eps: float = 0.0):
+    """pandas UDF: vector -> leaf keys (>=1 per tree, unique across trees).
+
+    Level-synchronous vectorized routing; spill_eps > 0 descends BOTH
+    children where |margin| <= spill_eps (the search_k analog,
+    annoylib.h:1453-1480: the priority queue revisits near-boundary
+    splits first)."""
+    packed = [
+        (t.normals, t.offsets, t.children, ti) for ti, t in enumerate(trees)
+    ]
+    stride = 1 + max(len(t.children) for t in trees)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def leaves(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = len(mat)
+        out = [[] for _ in range(n)]
+        for normals, offsets, children, ti in packed:
+            rows = np.arange(n)
+            cur = np.zeros(n, dtype=np.int64)
+            while len(rows):
+                is_leaf = children[cur, 0] < 0
+                for r, c in zip(rows[is_leaf], cur[is_leaf]):
+                    out[r].append(ti * stride + int(c))
+                rows, cur = rows[~is_leaf], cur[~is_leaf]
+                if not len(rows):
+                    break
+                m = (mat[rows] * normals[cur]).sum(1) + offsets[cur]
+                nxt = np.where(m > 0, children[cur, 1], children[cur, 0])
+                if spill_eps > 0.0:
+                    both = np.abs(m) <= spill_eps
+                    other = np.where(
+                        m > 0, children[cur, 0], children[cur, 1]
+                    )[both]
+                    rows = np.concatenate([rows, rows[both]])
+                    cur = np.concatenate([nxt, other])
+                else:
+                    cur = nxt
+        return pd.Series([np.unique(k).tolist() for k in out])
+
+    return leaves
+
+
+def knn_forest(
+    items: DataFrame,
+    k: int,
+    n_trees: int = 8,
+    leaf_cap: int = 32,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "angular",
+    spill_eps: float = 0.0,
+    bucket_cap: int = 2000,
+    max_sample: int = 50_000,
+    sample_fraction: float = 0.2,
+) -> DataFrame:
+    """All-items approximate top-k via the two_means forest:
+    (qid, nid, rank, distance). metric in ('angular', 'euclidean').
+
+    Same output contract as knn_lsh/knn_ivf; candidate generation is the
+    (tree, leaf) equi-join — shuffle-friendly, reducer-bounded by
+    _cap_buckets salting; exact re-rank in the true metric decides
+    (annoylib.h:1492-1494)."""
+    if metric not in ("angular", "euclidean"):
+        raise ValueError(f"knn_forest supports angular/euclidean, got {metric}")
+    trees = build_forest(
+        items, n_trees=n_trees, leaf_cap=leaf_cap, seed=seed, metric=metric,
+        vec_col=vec_col, max_sample=max_sample,
+        sample_fraction=sample_fraction,
+    )
+    leaves = forest_leaf_udf(trees, spill_eps=spill_eps)
+    if metric == "angular":
+        base = with_unit_vectors(items, vec_col).select(
+            F.col(id_col).alias("id"),
+            F.col("unit_vec").alias("v"),
+            leaves(F.col("unit_vec")).alias("keys"),
+        )
+    else:
+        raw = F.col(vec_col).cast("array<double>")
+        base = items.select(
+            F.col(id_col).alias("id"), raw.alias("v"),
+            leaves(raw).alias("keys"),
+        )
+    buckets = _cap_buckets(
+        base.select("id", "v", F.explode("keys").alias("bucket")), bucket_cap
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["bucket", "salt"])
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("qid"),
+            F.col("b.id").alias("nid"),
+            F.col("a.v").alias("qv"),
+            F.col("b.v").alias("nv"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    if metric == "angular":
+        d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
+    else:
+        diff = F.zip_with("qv", "nv", lambda x, y: x - y)
+        d = F.sqrt(F.greatest(F.lit(0.0), _norm2(diff)))
+    scored = cand.select("qid", "nid", d.alias("distance"))
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
