@@ -48,6 +48,10 @@ class DedupConfig:
     pair_enum_cap: int = 64        # full O(g^2) pair enumeration up to here
     band_group_cap: int = 1000     # star enumeration up to here; beyond:
     salt_buckets: int = 16         # skipped + accounted in lineage
+    # star-failure rescue: pairs among failed star members are enumerated in
+    # full up to this many failures per center (star-to-min-failed beyond);
+    # 0 disables the rescue pass entirely
+    star_rescue_cap: int = 64
 
     # connected components
     cc_max_iters: int = 50

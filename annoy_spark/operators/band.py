@@ -72,7 +72,7 @@ def all_candidate_edges(
     lsh, skipped = candidate_edges(representatives, cfg)
     edges = ex_edges.select(
         "u", "v", F.lit("exact").alias("kind")
-    ).unionByName(lsh.select("u", "v", F.lit("lsh").alias("kind")))
+    ).unionByName(lsh.select("u", "v", "kind"))
     return edges, skipped
 
 
@@ -145,7 +145,17 @@ def candidate_edges(
         )
     )
 
+    # tier provenance: 'lsh' = fully enumerated (tier 1); 'lsh_star' = star
+    # approximation (tiers 2-3) whose verification failures are eligible
+    # for the rescue pass (pipeline.py) — two star members that are true
+    # near-dups of each other but not of the group min would otherwise
+    # never get a direct edge and their cluster would silently split.
+    # A pair seen by BOTH tiers keeps 'lsh' (min: already fully enumerated).
     pairs = (
-        full_pairs.unionByName(star_pairs).unionByName(salted_pairs).distinct()
+        full_pairs.select("u", "v", F.lit("lsh").alias("kind"))
+        .unionByName(star_pairs.select("u", "v", F.lit("lsh_star").alias("kind")))
+        .unionByName(salted_pairs.select("u", "v", F.lit("lsh_star").alias("kind")))
+        .groupBy("u", "v")
+        .agg(F.min("kind").alias("kind"))
     )
     return pairs, skipped

@@ -230,14 +230,15 @@ def forest_leaf_udf(trees: list[Tree], spill_eps: float = 0.0):
             return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         n = len(mat)
-        out = [[] for _ in range(n)]
+        acc_rows, acc_keys = [], []  # flat (row, key) pairs, fully vectorized
         for normals, offsets, children, ti in packed:
             rows = np.arange(n)
             cur = np.zeros(n, dtype=np.int64)
             while len(rows):
                 is_leaf = children[cur, 0] < 0
-                for r, c in zip(rows[is_leaf], cur[is_leaf]):
-                    out[r].append(ti * stride + int(c))
+                if is_leaf.any():
+                    acc_rows.append(rows[is_leaf])
+                    acc_keys.append(ti * stride + cur[is_leaf])
                 rows, cur = rows[~is_leaf], cur[~is_leaf]
                 if not len(rows):
                     break
@@ -252,7 +253,15 @@ def forest_leaf_udf(trees: list[Tree], spill_eps: float = 0.0):
                     cur = np.concatenate([nxt, other])
                 else:
                     cur = nxt
-        return pd.Series([np.unique(k).tolist() for k in out])
+        ar = np.concatenate(acc_rows)
+        ak = np.concatenate(acc_keys)
+        order = np.lexsort((ak, ar))
+        ar, ak = ar[order], ak[order]
+        keep = np.ones(len(ar), dtype=bool)  # dedup (row, key) — spill revisits
+        keep[1:] = (ar[1:] != ar[:-1]) | (ak[1:] != ak[:-1])
+        ar, ak = ar[keep], ak[keep]
+        per_row = np.split(ak, np.searchsorted(ar, np.arange(1, n)))
+        return pd.Series([k.tolist() for k in per_row])
 
     return leaves
 

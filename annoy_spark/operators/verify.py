@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import DoubleType
 
 from annoy_spark.config import DedupConfig
@@ -100,7 +100,9 @@ def verify(
         F.lit(1.0).alias("jaccard"),
         F.lit(0).cast("long").alias("hamming"),
     )
-    candidates = candidates.where(F.col("kind") == "lsh").select("u", "v")
+    candidates = candidates.where(F.col("kind") != "exact").select(
+        "u", "v", "kind"
+    )
 
     cand = F.broadcast(candidates) if small_candidates else candidates
     sig_u = sig.select(
@@ -123,6 +125,7 @@ def verify(
     scored = joined.select(
         "u",
         "v",
+        "kind",
         jaccard_udf(F.col("sh_u"), F.col("sh_v")).alias("jaccard"),
         hamming_col("sim_u", "sim_v", cfg.simhash_words).alias("hamming"),
         F.least("ns_u", "ns_v").alias("min_shingles"),
@@ -130,7 +133,7 @@ def verify(
     # hamming path gated on enough shingles: the majority-vote estimator is
     # noise below ~cfg.simhash_min_shingles elements (small docs collide)
     lsh_passed = (
-        scored.select("u", "v", "jaccard", "hamming", "min_shingles")
+        scored.select("u", "v", "kind", "jaccard", "hamming", "min_shingles")
         .where(
             (F.col("jaccard") >= F.lit(cfg.jaccard_s))
             | (
@@ -138,6 +141,78 @@ def verify(
                 & (F.col("min_shingles") >= F.lit(cfg.simhash_min_shingles))
             )
         )
-        .select("u", "v", F.lit("lsh").alias("kind"), "jaccard", "hamming")
+        .select("u", "v", "kind", "jaccard", "hamming")
     )
     return exact.unionByName(lsh_passed)
+
+
+def verify_with_rescue(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    small_candidates: bool = False,
+) -> DataFrame:
+    """verify() plus the star-failure rescue pass.
+
+    Two star members that are near-dups of each other but not of the group
+    min both fail the first pass and their cluster would silently split;
+    rescue enumerates pairs among each center's failed members (bounded by
+    cfg.star_rescue_cap) and sends them through the same exact re-rank.
+    localCheckpoint materializes the first pass once so the anti-join does
+    not recompute verification."""
+    ver = verify(candidates, signatures, cfg, small_candidates)
+    if cfg.star_rescue_cap <= 0:
+        return ver
+    ver = ver.localCheckpoint(eager=True)
+    failed = (
+        candidates.where(F.col("kind") == "lsh_star")
+        .select("u", "v")
+        .join(ver.select("u", "v"), ["u", "v"], "left_anti")
+    )
+    rescue = star_rescue_candidates(failed, cfg.star_rescue_cap)
+    if rescue.isEmpty():
+        return ver
+    rescued = verify(rescue, signatures, cfg, small_candidates=True)
+    # keep only genuinely new pairs (a rescue pair can already exist via
+    # another band group's full enumeration)
+    rescued = rescued.join(ver.select("u", "v"), ["u", "v"], "left_anti")
+    return ver.unionByName(rescued)
+
+
+def star_rescue_candidates(failed_star: DataFrame, cap: int) -> DataFrame:
+    """Second-chance pairs for star-tier verification failures.
+
+    The star tiers (band.py tiers 2-3) only enumerate (group_min, member)
+    edges; two members that are true near-duplicates of each other but NOT
+    of the group min both fail verification and their edge is never seen —
+    the cluster silently splits. Failures are rare (a band collision
+    without pairwise similarity to the min), so enumerating pairs AMONG
+    the failed members of each star center is bounded: full O(f^2) up to
+    `cap` failures per center, a star to the min failed member beyond
+    (the same ladder one level down). Returned pairs carry
+    kind='lsh_rescue' and must still pass the exact re-rank.
+    """
+    w = Window.partitionBy("u")
+    ann = failed_star.select(
+        F.col("u").alias("center"),
+        F.col("v").alias("member"),
+        F.count(F.lit(1)).over(w).alias("fsize"),
+        F.min("v").over(w).alias("fmin"),
+    )
+    small = ann.where(F.col("fsize") <= cap).select("center", "member")
+    full = (
+        small.alias("a")
+        .join(small.alias("b"), "center")
+        .where(F.col("a.member") < F.col("b.member"))
+        .select(
+            F.col("a.member").alias("u"), F.col("b.member").alias("v")
+        )
+    )
+    star = ann.where(
+        (F.col("fsize") > cap) & (F.col("member") != F.col("fmin"))
+    ).select(F.col("fmin").alias("u"), F.col("member").alias("v"))
+    return (
+        full.unionByName(star)
+        .distinct()
+        .select("u", "v", F.lit("lsh_rescue").alias("kind"))
+    )

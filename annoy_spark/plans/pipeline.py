@@ -18,7 +18,7 @@ from annoy_spark.operators.band import all_candidate_edges
 from annoy_spark.operators.cluster import connected_components
 from annoy_spark.operators.sign import file_id_col, sign
 from annoy_spark.operators.substring import substring_edges
-from annoy_spark.operators.verify import verify
+from annoy_spark.operators.verify import verify_with_rescue
 from annoy_spark.sources.checkpoint import CheckpointStore
 
 STAGES = ("signatures", "candidate_edges", "skipped_groups",
@@ -80,9 +80,10 @@ def run_pipeline(
     # broadcast the edge set through the verification joins while it's small
     # (parquet count is metadata-only); at scale AQE handles strategy + skew
     n_cand = metrics["candidate_edges"].get("n_rows") or cand.count()
+
     verified = _stage(
         store, spark, "verified_edges",
-        lambda: verify(
+        lambda: verify_with_rescue(
             cand, signatures, cfg, small_candidates=n_cand < 2_000_000
         ),
         metrics, resume,

@@ -87,6 +87,13 @@ def incremental_dedup_stream(
         # periodic snapshot rebuild folding the streamed files in (the
         # documented dedup horizon of this design).
         intra, _ = all_candidate_edges(new_sigs, cfg)
+        # micro-batches are small enough that tier provenance is noise
+        # here; the sink contract (and its oracle) knows exact vs lsh only
+        intra = intra.select(
+            "u", "v",
+            F.when(F.col("kind") == "exact", "exact")
+            .otherwise("lsh").alias("kind"),
+        )
         all_sigs = static_signatures.select(
             "file_id", "shingle_hashes", "simhash", "n_shingles"
         ).unionByName(

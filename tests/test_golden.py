@@ -12,7 +12,7 @@ from annoy_spark.corpus import generate_corpus
 from annoy_spark.operators.sign import sign
 
 FIXTURE = str(Path(__file__).parent / "fixtures" / "golden_signatures.parquet")
-GOLDEN_CONFIG_HASH = "9f0e641eb4370588"
+GOLDEN_CONFIG_HASH = "c74bc8b622e8bb63"  # round 2: +star_rescue_cap
 
 
 def test_config_hash_frozen():

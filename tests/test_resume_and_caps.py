@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from annoy_spark.config import DedupConfig
 from annoy_spark.corpus import generate_corpus
 from annoy_spark.operators.band import all_candidate_edges
-from annoy_spark.operators.sign import sign
+from annoy_spark.operators.sign import file_id_col, sign
 from annoy_spark.plans.pipeline import run_pipeline
 
 CFG = DedupConfig(enable_substring=False)
@@ -82,7 +82,7 @@ def test_band_group_cap_accounts_skipped(spark):
     assert len(sk) > 0, "oversized groups must be accounted"
     assert all(r.n_members > 5 for r in sk)
     # salted star keeps edge count linear-ish, far below full enumeration
-    lsh = edges.where(F.col("kind") == "lsh")
+    lsh = edges.where(F.col("kind") != "exact")
     assert lsh.count() < 30 * 29 / 2
     # and nothing is dropped: every member still reaches the group min via
     # CC over the salted star edges
@@ -107,3 +107,65 @@ def test_submit_cli(spark, tmp_path):
                "--config", str(cfg_path), "--report"])
     assert rc == 0
     assert (tmp_path / "out" / "clusters" / "_SUCCESS").exists()
+
+
+def test_star_rescue_candidates_ladder(spark):
+    """Full pairs among <= cap failed members; star-to-min-failed beyond."""
+    from annoy_spark.operators.verify import star_rescue_candidates
+
+    failed = spark.createDataFrame(
+        [(1, v) for v in range(2, 12)], "u long, v long"  # 10 failures
+    )
+    full = star_rescue_candidates(failed, cap=100).collect()
+    assert len(full) == 45  # C(10,2)
+    assert all(r.kind == "lsh_rescue" for r in full)
+    star = star_rescue_candidates(failed, cap=4).collect()
+    assert sorted((r.u, r.v) for r in star) == [(2, v) for v in range(3, 12)]
+
+
+def test_star_rescue_connects_split_members(spark):
+    """Two star members that are near-dups of each other but NOT of the
+    star center must be re-connected by the rescue pass (the silent
+    cluster-split failure of pure star enumeration)."""
+    from annoy_spark.operators.verify import verify_with_rescue
+
+    text_ab = " ".join(f"shared token t{i % 23} body" for i in range(300))
+    rows = [
+        ("r", "center", "c", "python",
+         " ".join(f"totally different d{i % 17} words" for i in range(300))),
+        ("r", "a", "c", "python", text_ab + " trailing alpha"),
+        ("r", "b", "c", "python", text_ab + " trailing beta"),
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    cfg = DedupConfig(enable_substring=False)
+    sigs = sign(corpus, cfg)
+    ids = {
+        r.path: r.file_id
+        for r in corpus.select(
+            "path", file_id_col().alias("file_id")
+        ).collect()
+    }
+    cand = spark.createDataFrame(
+        [
+            (ids["center"], ids["a"], "lsh_star"),
+            (ids["center"], ids["b"], "lsh_star"),
+        ],
+        "u long, v long, kind string",
+    )
+    out = verify_with_rescue(cand, sigs, cfg, small_candidates=True).collect()
+    pairs = {(r.u, r.v): r.kind for r in out}
+    ab = tuple(sorted((ids["a"], ids["b"])))
+    assert ab in pairs, f"rescue must recover the a-b edge, got {pairs}"
+    assert pairs[ab] == "lsh_rescue"
+    # and the center edges correctly stay failed
+    assert (ids["center"], ids["a"]) not in pairs
+
+    # rescue disabled -> the edge is lost (documents the approximation)
+    cfg_off = DedupConfig(enable_substring=False, star_rescue_cap=0)
+    out_off = verify_with_rescue(
+        cand, sign(corpus, cfg_off), cfg_off, small_candidates=True
+    ).collect()
+    assert ab not in {(r.u, r.v) for r in out_off}

@@ -63,7 +63,7 @@ def run_level(cores: int, corpus_path: str, tag: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-LEVELS = (2, 8, 32)  # two N->4N ladders: 2->8 and 8->32
+LEVELS = (2, 4, 8, 16, 32)  # three N->4N ladders: 2->8, 4->16, 8->32
 
 
 def main() -> None:
@@ -93,6 +93,7 @@ df.write.mode("overwrite").parquet("{corpus_path}")
 
     best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in results.items()}
     eff_2_8 = best[2]["sec"] / (4 * best[8]["sec"])
+    eff_4_16 = best[4]["sec"] / (4 * best[16]["sec"])
     eff_8_32 = best[8]["sec"] / (4 * best[32]["sec"])
 
     rows = "\n".join(
@@ -119,6 +120,7 @@ corpus: {n_files} synthetic source files (annoy_spark.corpus, seed 42).
 | ladder | efficiency = T_N / (4 x T_4N) |
 |---|---|
 | N=2  -> 4N=8  | **{eff_2_8:.3f}** |
+| N=4  -> 4N=16 | **{eff_4_16:.3f}** |
 | N=8  -> 4N=32 | **{eff_8_32:.3f}** |
 
 Interpretation: on a real cluster, growing N -> 4N executors multiplies

@@ -81,6 +81,14 @@ def main() -> None:
                 t=cfg.hamming_t, n_bits=cfg.simhash_bits)),
     }
 
+    from annoy_spark.operators.forest import knn_forest
+
+    sections[
+        "KNN FOREST (broadcast two_means trees -> one Arrow routing pass -> "
+        "capped (tree, leaf) equi-join, exact re-rank)"
+    ] = plan_of(knn_forest(emb, k=3, n_trees=4, leaf_cap=16,
+                           sample_fraction=1.0))
+
     out = ["# PLANS — physical plan evidence (auto-generated)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
     for title, text in sections.items():

@@ -27,6 +27,12 @@ GRID = [
     (8, 6), (16, 6), (32, 6),
     (8, 4), (16, 4), (32, 4),
 ]
+# forest budget grid: n_trees x leaf_cap (annoy's n_trees x _K), plus one
+# spill point (the search_k analog)
+FOREST_GRID = [
+    (4, 32, 0.0), (8, 32, 0.0), (16, 32, 0.0), (32, 32, 0.0),
+    (8, 64, 0.0), (8, 32, 0.1),
+]
 
 
 def main() -> None:
@@ -60,7 +66,27 @@ def main() -> None:
         })
         print(rows[-1])
 
-    out = {"sf_dir": sf_dir, "n_items": n_items, "k": K, "sweep": rows}
+    from annoy_spark.operators.forest import knn_forest
+
+    forest_rows = []
+    for n_trees, leaf_cap, eps in FOREST_GRID:
+        t0 = time.time()
+        approx = knn_forest(
+            emb, k=K, n_trees=n_trees, leaf_cap=leaf_cap, seed=42,
+            spill_eps=eps, sample_fraction=1.0,
+        ).select("qid", "nid").collect()
+        dt = time.time() - t0
+        got = {(r.qid, r.nid) for r in approx}
+        recall = len(exact & got) / len(exact)
+        forest_rows.append({
+            "n_trees": n_trees, "leaf_cap": leaf_cap, "spill_eps": eps,
+            "recall_at_10": round(recall, 4),
+            "result_pairs": len(got), "sec": round(dt, 2),
+        })
+        print(forest_rows[-1])
+
+    out = {"sf_dir": sf_dir, "n_items": n_items, "k": K, "sweep": rows,
+           "forest_sweep": forest_rows}
     (REPO / "BENCH" / "precision_sweep.json").write_text(
         json.dumps(out, indent=1)
     )
@@ -82,6 +108,22 @@ def main() -> None:
         md.append(
             f"| {r['n_tables']} | {r['n_bits']} | {r['recall_at_10']:.3f} "
             f"| {r['sec']} |"
+        )
+    md += [
+        "",
+        "## two_means RP-forest (annoy's own budget axes)",
+        "",
+        "recall@10 of `knn_forest` on the same vectors; n_trees x leaf_cap "
+        "are literally annoy's n_trees x _K, spill_eps widens traversal "
+        "like search_k.",
+        "",
+        "| n_trees | leaf_cap | spill_eps | recall@10 | sec |",
+        "|---|---|---|---|---|",
+    ]
+    for r in forest_rows:
+        md.append(
+            f"| {r['n_trees']} | {r['leaf_cap']} | {r['spill_eps']} "
+            f"| {r['recall_at_10']:.3f} | {r['sec']} |"
         )
     md += ["", "Reproduce: `python tools/precision_sweep.py`", ""]
     (REPO / "BENCH" / "precision_sweep.md").write_text("\n".join(md))
