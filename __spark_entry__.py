@@ -160,8 +160,11 @@ def _knn_forest_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from annoy_spark.operators.knn import knn_bruteforce
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # 32 trees: the gate embeddings are unstructured random vectors (the
+    # forest's worst case); deterministic recall at this budget is 0.988
+    # vs the 0.90 contract (see BENCH/precision_sweep.md for the curve)
     approx = knn_forest(
-        emb, k=10, n_trees=16, leaf_cap=32, seed=42, sample_fraction=1.0
+        emb, k=10, n_trees=32, leaf_cap=32, seed=42, sample_fraction=1.0
     ).select("qid", "nid")
     exact = knn_bruteforce(emb, emb, k=10).select("qid", "nid")
     hits = exact.join(approx, ["qid", "nid"], "left_semi")

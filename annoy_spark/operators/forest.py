@@ -190,19 +190,29 @@ def build_forest(
     seed: int = 42,
     metric: str = "angular",
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     max_sample: int = 50_000,
     sample_fraction: float = 0.2,
 ) -> list[Tree]:
     """n_trees independent two_means trees from one bounded driver sample
     (annoy builds each tree over all items — annoylib.h:1037-1078; a
     router tree only needs a representative sample, and each tree draws
-    its own seed stream so the forest stays decorrelated)."""
+    its own seed stream so the forest stays decorrelated).
+
+    The sample is sorted by id on the driver: collect() order depends on
+    partitioning/caching, and two_means draws by POSITION, so unsorted
+    input would grow different trees (set_seed determinism,
+    annoylib.h:1256-1262, demands bit-identical forests per seed)."""
     sample = (
-        items.select(F.col(vec_col).cast("array<double>").alias("v"))
+        items.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
         .sample(fraction=min(1.0, sample_fraction), seed=seed)
         .limit(max_sample)
         .collect()
     )
+    sample.sort(key=lambda r: r.i)
     x = np.asarray([r.v for r in sample], dtype=np.float64)
     if metric == "angular":
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
@@ -291,7 +301,7 @@ def knn_forest(
         raise ValueError(f"knn_forest supports angular/euclidean, got {metric}")
     trees = build_forest(
         items, n_trees=n_trees, leaf_cap=leaf_cap, seed=seed, metric=metric,
-        vec_col=vec_col, max_sample=max_sample,
+        vec_col=vec_col, id_col=id_col, max_sample=max_sample,
         sample_fraction=sample_fraction,
     )
     leaves = forest_leaf_udf(trees, spill_eps=spill_eps)

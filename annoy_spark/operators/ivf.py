@@ -46,17 +46,26 @@ def train_centroids(
     max_train: int = 50_000,
     sample_fraction: float = 0.2,
     iters: int = 15,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Lloyd k-means over a bounded driver-side sample (<= max_train rows —
     the coarse quantizer is trained on a sample by construction, like
     annoy's two_means over sampled points; never the full relation).
-    metric='angular' runs spherical k-means (unit centroids)."""
+    metric='angular' runs spherical k-means (unit centroids).
+
+    The sample is sorted by id on the driver: collect() order depends on
+    partitioning/caching and k-means init draws by position, so unsorted
+    input would train different quantizers run-to-run."""
     sample = (
-        items.select(F.col(vec_col).cast("array<double>").alias("v"))
+        items.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
         .sample(fraction=min(1.0, sample_fraction), seed=seed)
         .limit(max_train)
         .collect()
     )
+    sample.sort(key=lambda r: r.i)
     x = np.asarray([r.v for r in sample], dtype=np.float64)
     if metric == "angular":
         n = np.linalg.norm(x, axis=1, keepdims=True)
@@ -121,7 +130,7 @@ def knn_ivf(
         raise ValueError(f"knn_ivf supports angular/euclidean, got {metric}")
     cent = train_centroids(
         items, n_centroids, seed, vec_col, metric,
-        sample_fraction=sample_fraction,
+        sample_fraction=sample_fraction, id_col=id_col,
     )
     probes = _probe_udf(cent, nprobe, metric)
 
