@@ -335,6 +335,99 @@ def _streaming_dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stateful_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming band-candidate operator (applyInPandasWithState)
+    driven to completion in TWO checkpointed availableNow runs — the
+    second batch pairs against per-band-key state restored across the
+    restart. Emitted candidates are exact-verified (jaccard >= s) so the
+    output is SQL-recomputable as the O(n^2) exact-Jaccard pair set."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from annoy_spark.config import DedupConfig
+    from annoy_spark.operators.sign import sign
+    from annoy_spark.operators.verify import jaccard_udf
+    from annoy_spark.streaming.stateful_band import band_candidates_stream
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # same derived corpus as the gate SQL templates' corpus CTE
+    # (gates/queries.py::_corpus_cte): base docs + planted near-dups
+    # (+1000000, prefix trimmed) + planted exact copies (+2000000)
+    docs = (
+        base.select("doc_id", "text")
+        .unionByName(
+            base.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.expr("substr(text, 15)").alias("text"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    def corpus(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit("r0").alias("repo"),
+            F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    cfg = DedupConfig()
+    tmp = tempfile.mkdtemp(prefix="annoy_spark_stateful_gate_")
+    corpus(docs.where(F.col("doc_id") % 2 == 0)).write.mode(
+        "append"
+    ).parquet(f"{tmp}/in")
+    # state_ttl_min=0: drain mode (availableNow) terminates only without
+    # pending processing-time timeouts — see band_candidates_stream_df
+    band_candidates_stream(
+        spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck", cfg,
+        per_key_cap=1_000_000, state_ttl_min=0,
+    ).awaitTermination(600)
+    corpus(docs.where(F.col("doc_id") % 2 == 1)).write.mode(
+        "append"
+    ).parquet(f"{tmp}/in")
+    band_candidates_stream(
+        spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck", cfg,
+        per_key_cap=1_000_000, state_ttl_min=0,
+    ).awaitTermination(600)
+
+    full = corpus(docs)
+    ids = full.select(
+        F.xxhash64("repo", "path", "commit").alias("fid"),
+        F.substring("path", 4, 30).cast("long").alias("did"),
+    )
+    sigs = sign(full, cfg).join(ids, F.col("file_id") == F.col("fid")).select(
+        F.col("did"), F.col("shingle_hashes")
+    )
+    cand = (
+        spark.read.parquet(f"{tmp}/out")
+        .join(ids.select(F.col("fid").alias("u"), F.col("did").alias("du")), "u")
+        .join(ids.select(F.col("fid").alias("v"), F.col("did").alias("dv")), "v")
+        .select(
+            F.least("du", "dv").alias("u"), F.greatest("du", "dv").alias("v")
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            sigs.select(F.col("did").alias("u"), F.col("shingle_hashes").alias("sh_u")),
+            "u",
+        )
+        .join(
+            sigs.select(F.col("did").alias("v"), F.col("shingle_hashes").alias("sh_v")),
+            "v",
+        )
+        .select("u", "v", jaccard_udf("sh_u", "sh_v").alias("j"))
+    )
+    return scored.where(F.col("j") >= cfg.jaccard_s).select("u", "v")
+
+
 def _substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing exact-substring duplicate pairs over a derived corpus with
     planted verbatim blocks (block = the base doc's text repeated)."""
@@ -414,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_features"] = _media_features
     out["substring_pairs"] = _substring_pairs
     out["streaming_dedup_edges"] = _streaming_dedup_edges
+    out["stateful_band_pairs"] = _stateful_band_pairs
     return out
 
 
@@ -433,4 +527,5 @@ def oracle_sql() -> dict[str, str]:
     out["media_features"] = G.q_media_features_duck()
     out["substring_pairs"] = G.q_substring_pairs_duck(SUBSTRING_MIN_LEN)
     out["streaming_dedup_edges"] = G.q_streaming_dedup_edges_duck()
+    out["stateful_band_pairs"] = G.q_stateful_band_pairs_duck()
     return out

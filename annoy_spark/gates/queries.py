@@ -527,6 +527,18 @@ def q_embedding_near_dup_recall_duck(min_recall_pct: int) -> str:
 FROM ({q_embedding_near_dup_pairs(DUCK)}) t"""
 
 
+def q_stateful_band_pairs_duck() -> str:
+    """DuckDB oracle for the stateful streaming band-candidate operator
+    (applyInPandasWithState, streaming/stateful_band.py): the Spark side
+    streams the corpus in two checkpointed availableNow runs (per-band-key
+    state restored across the restart), exact-verifies the emitted
+    candidate pairs, and maps engine file ids back to doc ids. The oracle
+    is the full O(n^2) exact-Jaccard pair set: band candidacy at
+    (b=32, r=4) misses a j>=0.8 pair with probability < 1e-7 — below the
+    value-hash noise floor."""
+    return f"SELECT u, v FROM ({q_jaccard_pairs(DUCK)}) t"
+
+
 def q_streaming_dedup_edges_duck() -> str:
     """DuckDB oracle for the incremental streaming dedup operator.
 

@@ -93,17 +93,40 @@ def verify(
     could OOM executors at a few million edges; ids never can. With huge
     edge sets leave False and let AQE pick strategy + skew splitting.
     """
-    sig = signatures.select("file_id", "shingle_hashes", "simhash", "n_shingles")
-
     exact = candidates.where(F.col("kind") == "exact").select(
         "u", "v", "kind",
         F.lit(1.0).alias("jaccard"),
         F.lit(0).cast("long").alias("hamming"),
     )
+    scored = _score_lsh(candidates, signatures, cfg, small_candidates)
+    lsh_passed = scored.where(_pass_expr(cfg)).select(
+        "u", "v", "kind", "jaccard", "hamming"
+    )
+    return exact.unionByName(lsh_passed)
+
+
+def _pass_expr(cfg: DedupConfig) -> F.Column:
+    # hamming path gated on enough shingles: the majority-vote estimator is
+    # noise below ~cfg.simhash_min_shingles elements (small docs collide)
+    return (F.col("jaccard") >= F.lit(cfg.jaccard_s)) | (
+        (F.col("hamming") <= F.lit(cfg.hamming_t))
+        & (F.col("min_shingles") >= F.lit(cfg.simhash_min_shingles))
+    )
+
+
+def _score_lsh(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    small_candidates: bool,
+) -> DataFrame:
+    """Exact re-rank scores for non-exact candidates:
+    (u, v, kind, jaccard, hamming, min_shingles) — pass/fail NOT applied,
+    so callers can inspect failures (the rescue pass needs them)."""
+    sig = signatures.select("file_id", "shingle_hashes", "simhash", "n_shingles")
     candidates = candidates.where(F.col("kind") != "exact").select(
         "u", "v", "kind"
     )
-
     cand = F.broadcast(candidates) if small_candidates else candidates
     sig_u = sig.select(
         F.col("file_id").alias("u"),
@@ -122,7 +145,7 @@ def verify(
         sig_v = sig_v.join(F.broadcast(v_ids), "v")
     j1 = cand.join(sig_u, "u")
     joined = j1.join(sig_v, "v")
-    scored = joined.select(
+    return joined.select(
         "u",
         "v",
         "kind",
@@ -130,20 +153,6 @@ def verify(
         hamming_col("sim_u", "sim_v", cfg.simhash_words).alias("hamming"),
         F.least("ns_u", "ns_v").alias("min_shingles"),
     )
-    # hamming path gated on enough shingles: the majority-vote estimator is
-    # noise below ~cfg.simhash_min_shingles elements (small docs collide)
-    lsh_passed = (
-        scored.select("u", "v", "kind", "jaccard", "hamming", "min_shingles")
-        .where(
-            (F.col("jaccard") >= F.lit(cfg.jaccard_s))
-            | (
-                (F.col("hamming") <= F.lit(cfg.hamming_t))
-                & (F.col("min_shingles") >= F.lit(cfg.simhash_min_shingles))
-            )
-        )
-        .select("u", "v", "kind", "jaccard", "hamming")
-    )
-    return exact.unionByName(lsh_passed)
 
 
 def verify_with_rescue(
@@ -158,25 +167,39 @@ def verify_with_rescue(
     min both fail the first pass and their cluster would silently split;
     rescue enumerates pairs among each center's failed members (bounded by
     cfg.star_rescue_cap) and sends them through the same exact re-rank.
-    localCheckpoint materializes the first pass once so the anti-join does
-    not recompute verification."""
-    ver = verify(candidates, signatures, cfg, small_candidates)
-    if cfg.star_rescue_cap <= 0:
-        return ver
-    ver = ver.localCheckpoint(eager=True)
-    failed = (
-        candidates.where(F.col("kind") == "lsh_star")
-        .select("u", "v")
-        .join(ver.select("u", "v"), ["u", "v"], "left_anti")
+
+    Cost shape: the first pass's scored rows are localCheckpointed ONCE
+    (narrow columns, candidate-count rows) and both the pass set and the
+    star-failure set are filters over them — no anti-join against the
+    verified output and no recompute of the scoring joins. The second
+    scoring pass runs only over the (small, capped) rescue pairs."""
+    exact = candidates.where(F.col("kind") == "exact").select(
+        "u", "v", "kind",
+        F.lit(1.0).alias("jaccard"),
+        F.lit(0).cast("long").alias("hamming"),
     )
-    rescue = star_rescue_candidates(failed, cfg.star_rescue_cap)
+    if cfg.star_rescue_cap <= 0:
+        return verify(candidates, signatures, cfg, small_candidates)
+    scored = _score_lsh(
+        candidates, signatures, cfg, small_candidates
+    ).localCheckpoint(eager=True)
+    passed = scored.where(_pass_expr(cfg)).select(
+        "u", "v", "kind", "jaccard", "hamming"
+    )
+    failed_star = scored.where(
+        (~_pass_expr(cfg)) & (F.col("kind") == "lsh_star")
+    ).select("u", "v")
+    rescue = star_rescue_candidates(failed_star, cfg.star_rescue_cap)
     if rescue.isEmpty():
-        return ver
-    rescued = verify(rescue, signatures, cfg, small_candidates=True)
+        return exact.unionByName(passed)
+    rescued = _score_lsh(rescue, signatures, cfg, small_candidates=True)
+    rescued = rescued.where(_pass_expr(cfg)).select(
+        "u", "v", "kind", "jaccard", "hamming"
+    )
     # keep only genuinely new pairs (a rescue pair can already exist via
     # another band group's full enumeration)
-    rescued = rescued.join(ver.select("u", "v"), ["u", "v"], "left_anti")
-    return ver.unionByName(rescued)
+    rescued = rescued.join(passed.select("u", "v"), ["u", "v"], "left_anti")
+    return exact.unionByName(passed).unionByName(rescued)
 
 
 def star_rescue_candidates(failed_star: DataFrame, cap: int) -> DataFrame:

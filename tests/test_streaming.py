@@ -181,3 +181,72 @@ def test_exact_dedup_stream_first_writer_wins(spark, tmp_path):
              ("a", "a", "a", "python", "other bytes")],
         ).select(F.sha2("content", 256).alias("content_sha")).collect()
     }
+
+
+def test_stateful_band_candidates_across_restarts(spark, tmp_path):
+    """applyInPandasWithState candidate generation: same-batch pairs are
+    emitted immediately; state survives a checkpointed restart so a later
+    batch pairs against remembered members."""
+    from annoy_spark.operators.sign import file_id_col
+    from annoy_spark.streaming.stateful_band import band_candidates_stream
+
+    base = " ".join(f"tok{i % 31} word{i % 11} line" for i in range(200))
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+
+    def fid(repo, path, commit="c"):
+        return _rows(spark, [(repo, path, commit, "python", "x")]).select(
+            file_id_col().alias("f")
+        ).first().f
+
+    batch1 = _rows(
+        spark,
+        [
+            ("r", "a.py", "c", "python", base + " enda"),
+            ("r", "b.py", "c", "python", base + " endb"),
+            ("r", "solo.py", "c", "python",
+             " ".join(f"unique{i}" for i in range(200))),
+        ],
+    )
+    batch1.write.mode("append").parquet(inp)
+    band_candidates_stream(
+        spark, inp, out, ck, CFG, state_ttl_min=0, available_now=True
+    ).awaitTermination(240)
+
+    pairs1 = {
+        (r.u, r.v)
+        for r in spark.read.parquet(out).select("u", "v").distinct().collect()
+    }
+    a, b, c = fid("r", "a.py"), fid("r", "b.py"), fid("r", "c.py")
+    assert tuple(sorted((a, b))) in pairs1, "same-batch pair must be emitted"
+
+    # batch 2 after a restart: near-dup of a/b must pair via restored state
+    batch2 = _rows(spark, [("r", "c.py", "c", "python", base + " endc")])
+    batch2.write.mode("append").parquet(inp)
+    band_candidates_stream(
+        spark, inp, out, ck, CFG, state_ttl_min=0, available_now=True
+    ).awaitTermination(240)
+
+    pairs2 = {
+        (r.u, r.v)
+        for r in spark.read.parquet(out).select("u", "v").distinct().collect()
+    }
+    assert tuple(sorted((a, c))) in pairs2, "state must survive the restart"
+    assert tuple(sorted((b, c))) in pairs2
+
+
+def test_stateful_band_per_key_cap_bounds_pairs(spark, tmp_path):
+    """per_key_cap bounds both state size and per-arrival emitted pairs:
+    n same-band docs with cap=4 must yield far fewer than C(n,2) pairs."""
+    from annoy_spark.streaming.stateful_band import band_candidates_stream
+
+    base = " ".join(f"cap{i % 17} tok{i % 7}" for i in range(150))
+    n = 12
+    rows = [("r", f"f{i}.py", "c", "python", base + f" t{i}") for i in range(n)]
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    _rows(spark, rows).write.mode("append").parquet(inp)
+    band_candidates_stream(
+        spark, inp, out, ck, CFG, per_key_cap=4, state_ttl_min=0,
+        available_now=True,
+    ).awaitTermination(240)
+    got = spark.read.parquet(out).select("u", "v").distinct().count()
+    assert 0 < got < n * (n - 1) / 2, got
