@@ -183,6 +183,39 @@ def _knn_forest_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_forest_euclid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean twin of the forest gate: two_means offset-plane splits
+    (annoylib.h:849-891 — normal p-q, plane through the midpoint) vs the
+    exact euclidean top-k. Deterministic recall at this budget is 0.989."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.forest import knn_forest
+    from annoy_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    approx = knn_forest(
+        emb, k=10, n_trees=32, leaf_cap=32, seed=42, metric="euclidean",
+        sample_fraction=1.0,
+    ).select("qid", "nid")
+    exact = knn_bruteforce(emb, emb, k=10, metric="euclidean").select(
+        "qid", "nid"
+    )
+    hits = exact.join(approx, ["qid", "nid"], "left_semi")
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(emb.agg(F.count(F.lit(1)).alias("n_items")))
+    )
+    return stats.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.lit(FOREST_MIN_RECALL_PCT).cast("long").alias("min_recall_pct"),
+        (
+            F.col("n_hit") * 100 >= F.col("n_exact") * FOREST_MIN_RECALL_PCT
+        ).cast("long").alias("recall_pass"),
+    )
+
+
 MIPS_MIN_RECALL_PCT = 90
 
 
@@ -501,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_lsh_recall"] = _knn_lsh_recall
     out["knn_ivf_recall"] = _knn_ivf_recall
     out["knn_forest_recall"] = _knn_forest_recall
+    out["knn_forest_euclid_recall"] = _knn_forest_euclid_recall
     out["knn_mips_recall"] = _knn_mips_recall
     out["embedding_near_dup_recall"] = _embedding_near_dup_recall
     out["hamming_pairs_pigeonhole"] = _hamming_pairs_pigeonhole
@@ -518,6 +552,9 @@ def oracle_sql() -> dict[str, str]:
     out["knn_lsh_recall"] = G.q_knn_lsh_recall_duck(LSH_MIN_RECALL_PCT)
     out["knn_ivf_recall"] = G.q_knn_lsh_recall_duck(IVF_MIN_RECALL_PCT)
     out["knn_forest_recall"] = G.q_knn_lsh_recall_duck(FOREST_MIN_RECALL_PCT)
+    out["knn_forest_euclid_recall"] = G.q_knn_lsh_recall_duck(
+        FOREST_MIN_RECALL_PCT
+    )
     out["knn_mips_recall"] = G.q_knn_lsh_recall_duck(MIPS_MIN_RECALL_PCT)
     out["embedding_near_dup_recall"] = G.q_embedding_near_dup_recall_duck(
         LSH_MIN_RECALL_PCT

@@ -67,6 +67,24 @@ def main() -> None:
         print(rows[-1])
 
     from annoy_spark.operators.forest import knn_forest
+    from annoy_spark.operators.ivf import knn_ivf
+
+    ivf_rows = []
+    for n_centroids, nprobe in [(32, 4), (32, 8), (32, 16), (64, 8)]:
+        t0 = time.time()
+        approx = knn_ivf(
+            emb, k=K, n_centroids=n_centroids, nprobe=nprobe, seed=42,
+            sample_fraction=1.0,
+        ).select("qid", "nid").collect()
+        dt = time.time() - t0
+        got = {(r.qid, r.nid) for r in approx}
+        recall = len(exact & got) / len(exact)
+        ivf_rows.append({
+            "n_centroids": n_centroids, "nprobe": nprobe,
+            "recall_at_10": round(recall, 4),
+            "result_pairs": len(got), "sec": round(dt, 2),
+        })
+        print(ivf_rows[-1])
 
     forest_rows = []
     for n_trees, leaf_cap, eps in FOREST_GRID:
@@ -86,7 +104,7 @@ def main() -> None:
         print(forest_rows[-1])
 
     out = {"sf_dir": sf_dir, "n_items": n_items, "k": K, "sweep": rows,
-           "forest_sweep": forest_rows}
+           "forest_sweep": forest_rows, "ivf_sweep": ivf_rows}
     (REPO / "BENCH" / "precision_sweep.json").write_text(
         json.dumps(out, indent=1)
     )
@@ -108,6 +126,18 @@ def main() -> None:
         md.append(
             f"| {r['n_tables']} | {r['n_bits']} | {r['recall_at_10']:.3f} "
             f"| {r['sec']} |"
+        )
+    md += [
+        "",
+        "## IVF coarse quantizer (nprobe budget axis)",
+        "",
+        "| n_centroids | nprobe | recall@10 | sec |",
+        "|---|---|---|---|",
+    ]
+    for r in ivf_rows:
+        md.append(
+            f"| {r['n_centroids']} | {r['nprobe']} "
+            f"| {r['recall_at_10']:.3f} | {r['sec']} |"
         )
     md += [
         "",
