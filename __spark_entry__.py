@@ -61,6 +61,18 @@ LSH_MIN_RECALL_PCT = 90
 SUBSTRING_MIN_LEN = 1500
 
 
+def _await_or_raise(query, timeout_s: int) -> None:
+    """awaitTermination returns False on timeout with the query STILL
+    RUNNING; proceeding then (e.g. starting a second run on the same
+    checkpoint) fails with a confusing concurrent-query error. Stop and
+    raise a clear timeout instead."""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query did not drain within {timeout_s}s"
+        )
+
+
 def _knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accuracy gate for the approximate path (the reference's
     test/accuracy_test.py:89 pattern): recall@k of knn_lsh vs the exact
@@ -348,7 +360,7 @@ def _streaming_dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = incremental_dedup_stream(
         spark, f"{tmp}/in", static_sigs, f"{tmp}/out", f"{tmp}/ck", cfg
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
 
     edges = spark.read.parquet(f"{tmp}/out")
     path_u = static.select(
@@ -418,17 +430,23 @@ def _stateful_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(f"{tmp}/in")
     # state_ttl_min=0: drain mode (availableNow) terminates only without
     # pending processing-time timeouts — see band_candidates_stream_df
-    band_candidates_stream(
-        spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck", cfg,
-        per_key_cap=1_000_000, state_ttl_min=0,
-    ).awaitTermination(600)
+    _await_or_raise(
+        band_candidates_stream(
+            spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck", cfg,
+            per_key_cap=1_000_000, state_ttl_min=0,
+        ),
+        600,
+    )
     corpus(docs.where(F.col("doc_id") % 2 == 1)).write.mode(
         "append"
     ).parquet(f"{tmp}/in")
-    band_candidates_stream(
-        spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck", cfg,
-        per_key_cap=1_000_000, state_ttl_min=0,
-    ).awaitTermination(600)
+    _await_or_raise(
+        band_candidates_stream(
+            spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck", cfg,
+            per_key_cap=1_000_000, state_ttl_min=0,
+        ),
+        600,
+    )
 
     full = corpus(docs)
     ids = full.select(

@@ -49,6 +49,7 @@ from annoy_spark.operators.knn import (
     _cap_buckets,
     _dot,
     _norm2,
+    collect_training_sample,
     with_unit_vectors,
 )
 
@@ -68,8 +69,26 @@ class Tree:
     children: np.ndarray  # (n_nodes, 2) int64, margin>0 -> children[:, 1]
 
 
+def _ang_dist(a: np.ndarray, b: np.ndarray) -> float:
+    """Angular::distance (annoylib.h:475-485): 2 - 2*cos, scale-invariant
+    in both arguments (so the un-renormalized running centroid compares
+    exactly as the reference's does)."""
+    ppqq = float((a @ a) * (b @ b))
+    if ppqq > 0.0:
+        return 2.0 - 2.0 * float(a @ b) / np.sqrt(ppqq)
+    return 2.0
+
+
 def _two_means(x: np.ndarray, rng: np.random.Generator, angular: bool):
-    """annoylib.h:363-403: streaming weighted 2-means -> (p, q) centroids."""
+    """annoylib.h:363-403: streaming weighted 2-means -> (p, q) centroids.
+
+    Faithful to the reference: centroids are weighted running means that
+    are NEVER re-normalized (for angular, each folded point is
+    unit-scaled via update_mean's norm argument, annoylib.h:392-398, but
+    p/q themselves drift inside the unit ball); on a distance tie
+    (di == dj) NEITHER centroid updates (strict di<dj / dj<di branches,
+    annoylib.h:392-399); zero-norm points are skipped (annoylib.h:389-391).
+    """
     n = len(x)
     i = int(rng.integers(n))
     j = int(rng.integers(n - 1))
@@ -86,35 +105,39 @@ def _two_means(x: np.ndarray, rng: np.random.Generator, angular: bool):
             nz = np.linalg.norm(z)
             if nz < 1e-30:
                 continue
-            z = z / nz
-        di = ic * float(((p - z) ** 2).sum())
-        dj = jc * float(((q - z) ** 2).sum())
+            di = ic * _ang_dist(p, z)
+            dj = jc * _ang_dist(q, z)
+            z = z / nz  # update_mean folds the unit-scaled point
+        else:
+            di = ic * float(((p - z) ** 2).sum())
+            dj = jc * float(((q - z) ** 2).sum())
         if di < dj:
             p = (p * ic + z) / (ic + 1.0)
             ic += 1.0
-            if angular:
-                p /= max(np.linalg.norm(p), 1e-30)
-        else:
+        elif dj < di:
             q = (q * jc + z) / (jc + 1.0)
             jc += 1.0
-            if angular:
-                q /= max(np.linalg.norm(q), 1e-30)
     return p, q
 
 
 def _split_plane(x, rng, metric: str):
-    """create_split (annoylib.h:503-510, 849-891) -> (normal, offset)."""
+    """create_split (annoylib.h:503-510, 849-891) -> (normal, offset).
+
+    Both metrics normalize the split normal (Base::normalize is called in
+    Angular AND Euclidean/Manhattan create_split, annoylib.h:510, 856-857);
+    the euclidean offset is computed with the NORMALIZED normal
+    (annoylib.h:858-860)."""
     angular = metric == "angular"
     p, q = _two_means(x, rng, angular)
     normal = p - q
     nn = np.linalg.norm(normal)
     if nn < 1e-30:
         return None  # degenerate (p == q): caller falls back
+    normal = normal / nn
     if angular:
-        normal = normal / nn
         offset = 0.0  # annoylib.h:509 (n->a implicit 0 for Angular)
     else:
-        offset = float(-normal @ ((p + q) / 2.0))  # annoylib.h:887-890
+        offset = float(-normal @ ((p + q) / 2.0))  # annoylib.h:858-860
     return normal, offset
 
 
@@ -199,21 +222,13 @@ def build_forest(
     router tree only needs a representative sample, and each tree draws
     its own seed stream so the forest stays decorrelated).
 
-    The sample is sorted by id on the driver: collect() order depends on
-    partitioning/caching, and two_means draws by POSITION, so unsorted
-    input would grow different trees (set_seed determinism,
-    annoylib.h:1256-1262, demands bit-identical forests per seed)."""
-    sample = (
-        items.select(
-            F.col(id_col).alias("i"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .sample(fraction=min(1.0, sample_fraction), seed=seed)
-        .limit(max_sample)
-        .collect()
+    Sample MEMBERSHIP and ORDER are both deterministic (seeded-hash top-k,
+    sorted by id — see collect_training_sample): set_seed determinism
+    (annoylib.h:1256-1262) demands bit-identical forests per seed even
+    when the corpus exceeds max_sample."""
+    x = collect_training_sample(
+        items, id_col, vec_col, seed, max_sample, sample_fraction
     )
-    sample.sort(key=lambda r: r.i)
-    x = np.asarray([r.v for r in sample], dtype=np.float64)
     if metric == "angular":
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     return [

@@ -34,7 +34,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from annoy_spark.operators.knn import _dot, _norm2, with_unit_vectors
+from annoy_spark.operators.knn import (
+    _dot,
+    _norm2,
+    collect_training_sample,
+    with_unit_vectors,
+)
 
 
 def train_centroids(
@@ -53,20 +58,13 @@ def train_centroids(
     annoy's two_means over sampled points; never the full relation).
     metric='angular' runs spherical k-means (unit centroids).
 
-    The sample is sorted by id on the driver: collect() order depends on
-    partitioning/caching and k-means init draws by position, so unsorted
-    input would train different quantizers run-to-run."""
-    sample = (
-        items.select(
-            F.col(id_col).alias("i"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .sample(fraction=min(1.0, sample_fraction), seed=seed)
-        .limit(max_train)
-        .collect()
+    Sample membership and order are both deterministic (seeded-hash top-k
+    sorted by id — see collect_training_sample): k-means init draws by
+    position, and .sample().limit() membership would depend on partition
+    order whenever the sampled set exceeds max_train."""
+    x = collect_training_sample(
+        items, id_col, vec_col, seed, max_train, sample_fraction
     )
-    sample.sort(key=lambda r: r.i)
-    x = np.asarray([r.v for r in sample], dtype=np.float64)
     if metric == "angular":
         n = np.linalg.norm(x, axis=1, keepdims=True)
         x = x / np.maximum(n, 1e-12)

@@ -46,6 +46,41 @@ def _norm2(a) -> F.Column:
     return _dot(a, a)
 
 
+def collect_training_sample(
+    items: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    max_sample: int,
+    sample_fraction: float = 1.0,
+) -> np.ndarray:
+    """Bounded DETERMINISTIC driver-side sample, sorted by id: membership =
+    the max_sample rows with the smallest seeded xxhash64(id) (a uniform
+    pseudo-random draw realized as a TakeOrdered top-k — no full sort, no
+    partition-order dependence; .sample().limit() would keep
+    partition-order-dependent rows whenever the sampled set exceeds the
+    cap). sample_fraction < 1 additionally gates membership on a seeded
+    hash threshold so the expected candidate pool matches the fraction.
+
+    Sorting by id fixes POSITION too: two_means / k-means init draw by
+    index, so the same membership in a different order would still train a
+    different model."""
+    h = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    cand = items.select(
+        F.col(id_col).alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        h.alias("h"),
+    )
+    if sample_fraction < 1.0:
+        denom = 1 << 20
+        cand = cand.where(
+            F.pmod(F.col("h"), F.lit(denom)) < int(sample_fraction * denom)
+        )
+    rows = cand.orderBy("h", "i").limit(max_sample).collect()
+    rows.sort(key=lambda r: r.i)
+    return np.asarray([r.v for r in rows], dtype=np.float64)
+
+
 def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Pre-normalize once (annoy Angular caches node norms, annoylib.h:483)."""
     v = F.col(vec_col).cast("array<double>")

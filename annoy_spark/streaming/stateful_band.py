@@ -51,19 +51,25 @@ def _make_pair_fn(per_key_cap: int, ttl_ms: int):
             return
         (members,) = state.get if state.exists else ([],)
         members = list(members)
+        # parallel set for O(1) membership tests (the list keeps eviction
+        # order); rebuilt on eviction — eviction is rare (only past the cap)
+        member_set = set(members)
         out_u, out_v = [], []
         for pdf in pdfs:
             for fid in pdf["file_id"]:
                 fid = int(fid)
-                if fid in members:
+                if fid in member_set:
                     continue  # replayed row (idempotent re-delivery)
                 for m in members:
                     a, b = (m, fid) if m < fid else (fid, m)
                     out_u.append(a)
                     out_v.append(b)
                 members.append(fid)
+                member_set.add(fid)
                 if len(members) > per_key_cap:
+                    evicted = members[: -per_key_cap]
                     members = members[-per_key_cap:]  # evict oldest
+                    member_set.difference_update(evicted)
         state.update((members,))
         if ttl_ms > 0:
             state.setTimeoutDuration(ttl_ms)
