@@ -261,6 +261,169 @@ def _knn_mips_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_stats(items, exact, approx, k: int, threshold: int) -> DataFrame:
+    """(k, n_items, min_recall_pct, recall_pass) — the shared contract row
+    of every thresholded recall gate (test/accuracy_test.py:89 pattern)."""
+    from pyspark.sql import functions as F
+
+    hits = exact.join(approx, ["qid", "nid"], "left_semi")
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(items.agg(F.count(F.lit(1)).alias("n_items")))
+    )
+    return stats.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.lit(threshold).cast("long").alias("min_recall_pct"),
+        (
+            F.col("n_hit") * 100 >= F.col("n_exact") * threshold
+        ).cast("long").alias("recall_pass"),
+    )
+
+
+PSTABLE_MIN_RECALL_PCT = 90
+
+
+def _knn_pstable_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the p-stable E2LSH euclidean path (Datar et al.
+    '04 — the data-independent analog of annoy's two-means euclidean
+    splits, annoylib.h:849-891): recall@k of knn_lsh(metric='euclidean')
+    vs the exact L2 top-k (the reference gates every metric's accuracy —
+    test/euclidean_index_test.py:77-112)."""
+    from annoy_spark.operators.knn import knn_bruteforce, knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # 16x4 @ width 4.0: measured recall 0.9996 on the unstructured gate
+    # vectors (vs the 0.90 contract); 32 tables doubles candidate volume
+    # for +0.0004
+    approx = knn_lsh(
+        emb, k=10, n_tables=16, n_bits=4, seed=42, metric="euclidean",
+        bucket_width=4.0,
+    ).select("qid", "nid")
+    exact = knn_bruteforce(emb, emb, k=10, metric="euclidean").select(
+        "qid", "nid"
+    )
+    return _recall_stats(emb, exact, approx, 10, PSTABLE_MIN_RECALL_PCT)
+
+
+HAMMING_LSH_MIN_RECALL_PCT = 90
+
+
+def _knn_hamming_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the bit-sampling hamming-LSH path (annoy's
+    axis-aligned Hamming splits, annoylib.h:758-792; accuracy contract of
+    test/hamming_index_test.py:72-90): recall@k vs the exact popcount
+    top-k over the derived corpus' simhash signatures."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.knn import knn_bruteforce, knn_lsh
+
+    _register(spark, sf_dir)
+    sim = spark.sql(G.simhash_signatures_sql_spark()).select(
+        "doc_id", F.array("sig").alias("sig")
+    )
+    approx = knn_lsh(
+        sim, k=10, n_tables=32, n_bits=4, seed=42, metric="hamming",
+        id_col="doc_id", vec_col="sig",
+    ).select("qid", "nid")
+    exact = knn_bruteforce(
+        sim, sim, k=10, metric="hamming", id_col="doc_id", vec_col="sig"
+    ).select("qid", "nid")
+    return _recall_stats(sim, exact, approx, 10, HAMMING_LSH_MIN_RECALL_PCT)
+
+
+def _by_vector_queries(emb) -> DataFrame:
+    """Deterministic by-VECTOR query batch: every 50th embedding, re-id'd
+    outside the item id space (a query is not a stored item —
+    get_nns_by_vector, annoylib.h:1234-1236)."""
+    from pyspark.sql import functions as F
+
+    return emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+
+
+FOREST_BV_MIN_RECALL_PCT = 90
+
+
+def _knn_forest_by_vector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE annoy lifecycle, end to end in one gate: build the two_means
+    forest index, SAVE it (config-hash-stamped model npz + parquet bucket
+    assignments), LOAD it back, and answer by-vector queries from the
+    reloaded index (annoylib.h:1093-1236; golden-index contract of
+    test/index_test.py:29-34). recall@k vs exact angular top-k; spill_eps
+    (the search_k analog) is applied at QUERY time against the stored
+    trees."""
+    import tempfile
+
+    from annoy_spark.operators.knn import knn_bruteforce
+    from annoy_spark.sources.ann_index import (
+        AnnIndexConfig,
+        build_index,
+        load_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = _by_vector_queries(emb)
+    cfg = AnnIndexConfig(
+        kind="forest", metric="angular", n_trees=32, leaf_cap=32, seed=42,
+        sample_fraction=1.0,
+    )
+    root = tempfile.mkdtemp(prefix="annoy_spark_forest_idx_")
+    build_index(spark, emb, root, cfg)
+    idx = load_index(spark, root, expected=cfg)
+    approx = idx.query(qs, k=10, spill_eps=0.05).select("qid", "nid")
+    exact = knn_bruteforce(emb, qs, k=10).select("qid", "nid")
+    return _recall_stats(emb, exact, approx, 10, FOREST_BV_MIN_RECALL_PCT)
+
+
+IVF_BV_MIN_RECALL_PCT = 80
+
+
+def _knn_ivf_by_vector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF twin of the persisted-index lifecycle gate: build + save the
+    coarse quantizer index, load it back, probe nprobe cells per query
+    vector, recall@k vs exact angular top-k (unstructured vectors — IVF's
+    worst case, same threshold as the all-items IVF gate)."""
+    import tempfile
+
+    from annoy_spark.operators.knn import knn_bruteforce
+    from annoy_spark.sources.ann_index import (
+        AnnIndexConfig,
+        build_index,
+        load_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = _by_vector_queries(emb)
+    cfg = AnnIndexConfig(
+        kind="ivf", metric="angular", n_centroids=32, nprobe=16, seed=42,
+        sample_fraction=1.0,
+    )
+    root = tempfile.mkdtemp(prefix="annoy_spark_ivf_idx_")
+    build_index(spark, emb, root, cfg)
+    idx = load_index(spark, root, expected=cfg)
+    approx = idx.query(qs, k=10).select("qid", "nid")
+    exact = knn_bruteforce(emb, qs, k=10).select("qid", "nid")
+    return _recall_stats(emb, exact, approx, 10, IVF_BV_MIN_RECALL_PCT)
+
+
+def _knn_lsh_by_vector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """By-vector mode of the hyperplane-LSH operator (the queries= path):
+    query vectors are signed with the SAME planes and joined against the
+    item buckets; recall@k vs exact angular top-k."""
+    from annoy_spark.operators.knn import knn_bruteforce, knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = _by_vector_queries(emb)
+    approx = knn_lsh(
+        emb, k=10, n_tables=32, n_bits=4, seed=42, queries=qs
+    ).select("qid", "nid")
+    exact = knn_bruteforce(emb, qs, k=10).select("qid", "nid")
+    return _recall_stats(emb, exact, approx, 10, LSH_MIN_RECALL_PCT)
+
+
 def _embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall contract for the LSH-bucketed embedding near-dup scale path
     vs the exact theta-join over the same planted-copy corpus."""
@@ -554,6 +717,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_forest_recall"] = _knn_forest_recall
     out["knn_forest_euclid_recall"] = _knn_forest_euclid_recall
     out["knn_mips_recall"] = _knn_mips_recall
+    out["knn_pstable_recall"] = _knn_pstable_recall
+    out["knn_hamming_lsh_recall"] = _knn_hamming_lsh_recall
+    out["knn_forest_by_vector_recall"] = _knn_forest_by_vector_recall
+    out["knn_ivf_by_vector_recall"] = _knn_ivf_by_vector_recall
+    out["knn_lsh_by_vector_recall"] = _knn_lsh_by_vector_recall
     out["embedding_near_dup_recall"] = _embedding_near_dup_recall
     out["hamming_pairs_pigeonhole"] = _hamming_pairs_pigeonhole
     out["media_features"] = _media_features
@@ -574,6 +742,19 @@ def oracle_sql() -> dict[str, str]:
         FOREST_MIN_RECALL_PCT
     )
     out["knn_mips_recall"] = G.q_knn_lsh_recall_duck(MIPS_MIN_RECALL_PCT)
+    out["knn_pstable_recall"] = G.q_knn_lsh_recall_duck(PSTABLE_MIN_RECALL_PCT)
+    out["knn_hamming_lsh_recall"] = G.q_knn_hamming_lsh_recall_duck(
+        HAMMING_LSH_MIN_RECALL_PCT
+    )
+    out["knn_forest_by_vector_recall"] = G.q_knn_lsh_recall_duck(
+        FOREST_BV_MIN_RECALL_PCT
+    )
+    out["knn_ivf_by_vector_recall"] = G.q_knn_lsh_recall_duck(
+        IVF_BV_MIN_RECALL_PCT
+    )
+    out["knn_lsh_by_vector_recall"] = G.q_knn_lsh_recall_duck(
+        LSH_MIN_RECALL_PCT
+    )
     out["embedding_near_dup_recall"] = G.q_embedding_near_dup_recall_duck(
         LSH_MIN_RECALL_PCT
     )

@@ -516,6 +516,20 @@ def q_knn_lsh_recall_duck(min_recall_pct: int) -> str:
 FROM embeddings"""
 
 
+def q_knn_hamming_lsh_recall_duck(min_recall_pct: int) -> str:
+    """DuckDB oracle for the bit-sampling hamming-LSH accuracy gate: the
+    Spark side computes recall@k of knn_lsh(metric='hamming') vs the exact
+    popcount top-k over the derived corpus' simhash signatures and emits
+    recall_pass = 1 iff recall >= min_recall_pct/100 — the reference's
+    hamming accuracy contract (test/hamming_index_test.py:72-90)."""
+    return f"""WITH {_simhash_ctes(DUCK)}
+SELECT CAST({KNN_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST({min_recall_pct} AS BIGINT) AS min_recall_pct,
+       CAST(1 AS BIGINT) AS recall_pass
+FROM sim"""
+
+
 def q_embedding_near_dup_recall_duck(min_recall_pct: int) -> str:
     """DuckDB oracle for the LSH-bucketed embedding near-dup scale path:
     n_exact_pairs is recomputed exactly (the theta-join), and the contract

@@ -49,6 +49,7 @@ from annoy_spark.operators.knn import (
     _cap_buckets,
     _dot,
     _norm2,
+    _topk,
     collect_training_sample,
     with_unit_vectors,
 )
@@ -304,6 +305,7 @@ def knn_forest(
     bucket_cap: int = 2000,
     max_sample: int = 50_000,
     sample_fraction: float = 0.2,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """All-items approximate top-k via the two_means forest:
     (qid, nid, rank, distance). metric in ('angular', 'euclidean').
@@ -311,9 +313,30 @@ def knn_forest(
     Same output contract as knn_lsh/knn_ivf; candidate generation is the
     (tree, leaf) equi-join — shuffle-friendly, reducer-bounded by
     _cap_buckets salting; exact re-rank in the true metric decides
-    (annoylib.h:1492-1494)."""
+    (annoylib.h:1492-1494).
+
+    queries=DataFrame switches to by-VECTOR mode (get_nns_by_vector,
+    annoylib.h:1234-1236): query rows are routed down the SAME trees
+    (spill_eps applies to the query side only — the search_k analog) and
+    joined against the item leaf assignments. For the build-once /
+    save / load / query-forever lifecycle use
+    annoy_spark.sources.ann_index.build_index / load_index."""
     if metric not in ("angular", "euclidean"):
         raise ValueError(f"knn_forest supports angular/euclidean, got {metric}")
+    if queries is not None:
+        from annoy_spark.sources.ann_index import (
+            AnnIndexConfig,
+            knn_by_vector_approx,
+        )
+
+        cfg = AnnIndexConfig(
+            kind="forest", metric=metric, seed=seed, n_trees=n_trees,
+            leaf_cap=leaf_cap, bucket_cap=bucket_cap, max_sample=max_sample,
+            sample_fraction=sample_fraction,
+        )
+        return knn_by_vector_approx(
+            items, queries, cfg, k, id_col, vec_col, spill_eps=spill_eps
+        )
     trees = build_forest(
         items, n_trees=n_trees, leaf_cap=leaf_cap, seed=seed, metric=metric,
         vec_col=vec_col, id_col=id_col, max_sample=max_sample,
@@ -345,16 +368,10 @@ def knn_forest(
             F.col("a.v").alias("qv"),
             F.col("b.v").alias("nv"),
         )
-        .dropDuplicates(["qid", "nid"])
     )
     if metric == "angular":
         d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
     else:
         diff = F.zip_with("qv", "nv", lambda x, y: x - y)
         d = F.sqrt(F.greatest(F.lit(0.0), _norm2(diff)))
-    scored = cand.select("qid", "nid", d.alias("distance"))
-    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return _topk(cand, d, k)

@@ -37,6 +37,7 @@ from pyspark.sql.types import ArrayType, LongType
 from annoy_spark.operators.knn import (
     _dot,
     _norm2,
+    _topk,
     collect_training_sample,
     with_unit_vectors,
 )
@@ -119,13 +120,31 @@ def knn_ivf(
     metric: str = "angular",
     cell_cap: int = 50_000,
     sample_fraction: float = 0.2,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """All-items approximate top-k via IVF cells: (qid, nid, rank, distance).
 
     metric in ('angular', 'euclidean'); exact re-rank in the true metric.
-    """
+
+    queries=DataFrame switches to by-VECTOR mode (get_nns_by_vector,
+    annoylib.h:1234-1236): query rows probe their nprobe nearest cells of
+    the SAME trained quantizer and join the item cell assignments. For the
+    persisted build/save/load lifecycle use
+    annoy_spark.sources.ann_index.build_index / load_index."""
     if metric not in ("angular", "euclidean"):
         raise ValueError(f"knn_ivf supports angular/euclidean, got {metric}")
+    if queries is not None:
+        from annoy_spark.sources.ann_index import (
+            AnnIndexConfig,
+            knn_by_vector_approx,
+        )
+
+        cfg = AnnIndexConfig(
+            kind="ivf", metric=metric, seed=seed, n_centroids=n_centroids,
+            nprobe=nprobe, bucket_cap=cell_cap,
+            sample_fraction=sample_fraction,
+        )
+        return knn_by_vector_approx(items, queries, cfg, k, id_col, vec_col)
     cent = train_centroids(
         items, n_centroids, seed, vec_col, metric,
         sample_fraction=sample_fraction, id_col=id_col,
@@ -170,16 +189,10 @@ def knn_ivf(
         probe_rows.join(assign, ["cid", "salt"])
         .where(F.col("qid") != F.col("nid"))
         .select("qid", "nid", "qv", "nv")
-        .dropDuplicates(["qid", "nid"])
     )
     if metric == "angular":
         d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
     else:
         diff = F.zip_with("qv", "nv", lambda x, y: x - y)
         d = F.sqrt(F.greatest(F.lit(0.0), _norm2(diff)))
-    scored = cand.select("qid", "nid", d.alias("distance"))
-    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return _topk(cand, d, k)

@@ -157,6 +157,26 @@ def knn_bruteforce(
     )
 
 
+def _topk(cand: DataFrame, d: F.Column, k: int) -> DataFrame:
+    """Score-then-dedup top-k tail shared by the approximate paths: the
+    distance is computed map-side right off the bucket join (while the
+    vectors still ride the row), so the candidate-dedup exchange carries
+    only (qid, nid, distance) — ~24 B/row instead of 2·dim·8 B. Duplicated
+    pairs (the same pair proposed by several buckets) are scored more than
+    once, but the score is a pure function of the pair, so dropDuplicates
+    keeps a correct row; the extra scoring is cheap codegen'd CPU traded
+    for halving the shuffled bytes at scale."""
+    scored = (
+        cand.select("qid", "nid", d.alias("distance"))
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def hyperplane_keys_udf(dim: int, n_tables: int, n_bits: int, seed: int):
     """pandas UDF: embedding -> one LSH key per table (sign-bit pattern).
 
@@ -219,6 +239,32 @@ def pstable_keys_udf(
     return keys
 
 
+def hamming_keys_col(
+    raw: F.Column, n_words: int, n_tables: int, n_bits: int, seed: int
+) -> F.Column:
+    """array<long> of one bit-sampling LSH key per table, built entirely
+    JVM-side (shift/mask inside whole-stage codegen — no UDF): each table
+    samples n_bits random bit POSITIONS of the packed int64 signature
+    (annoy's axis-aligned Hamming splits, annoylib.h:758-792)."""
+    n_sig_bits = n_words * 64
+    rng = np.random.default_rng([seed, 0x4A11])
+
+    def table_key(t: int) -> F.Column:
+        pos = rng.choice(
+            n_sig_bits, size=min(n_bits, n_sig_bits), replace=False
+        )
+        key = F.lit(t).cast("long")
+        for i, p in enumerate(sorted(int(x) for x in pos)):
+            w, off = divmod(p, 64)
+            bit = F.shiftrightunsigned(
+                F.element_at(raw, w + 1), off
+            ).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, 8 + i)
+        return key
+
+    return F.array(*[table_key(t) for t in range(n_tables)])
+
+
 def _cap_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
     """Salt oversized buckets into ~gsize/cap random sub-buckets.
 
@@ -279,11 +325,14 @@ def embedding_near_dup_pairs_lsh(
             F.col("a.unit_vec").alias("qv"),
             F.col("b.unit_vec").alias("nv"),
         )
+    )
+    # score map-side off the bucket join, filter, THEN dedup: the dedup
+    # exchange carries only passing (u, v, cosine) rows — never vectors
+    return (
+        cand.select("u", "v", _dot("qv", "nv").alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
         .dropDuplicates(["u", "v"])
     )
-    return cand.select(
-        "u", "v", _dot("qv", "nv").alias("cosine")
-    ).where(F.col("cosine") >= min_cosine)
 
 
 def knn_lsh(
@@ -297,10 +346,17 @@ def knn_lsh(
     metric: str = "angular",
     bucket_cap: int = 2000,
     bucket_width: float = 2.0,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """All-items approximate top-k: (qid, nid, rank, distance). Candidates =
     pairs sharing >= 1 hyperplane (sub-)bucket; exact re-rank on candidates
     only (annoy semantics: trees propose, the true metric decides).
+
+    queries=DataFrame switches to by-VECTOR mode (get_nns_by_vector,
+    annoylib.h:1234-1236): query rows are signed with the SAME planes
+    (dot: queries get the 0-augmentation, items the sqrt(M²-|x|²) one) and
+    joined against the item buckets. For the persisted build/save/load
+    lifecycle use annoy_spark.sources.ann_index.build_index / load_index.
 
     metric="angular": distance = sqrt(2-2cos) over unit vectors.
     metric="dot": MIPS via the Bachrach reduction (annoylib.h:605-703) —
@@ -317,6 +373,18 @@ def knn_lsh(
     JVM-side (shift/mask, whole-stage codegen, no UDF), exact popcount
     re-rank.
     """
+    if queries is not None:
+        from annoy_spark.sources.ann_index import (
+            AnnIndexConfig,
+            knn_by_vector_approx,
+        )
+
+        cfg = AnnIndexConfig(
+            kind="lsh", metric=metric, seed=seed, n_tables=n_tables,
+            n_bits=n_bits, bucket_width=bucket_width, bucket_cap=bucket_cap,
+        )
+        return knn_by_vector_approx(items, queries, cfg, k, id_col, vec_col)
+
     dim = len(items.select(vec_col).first()[0])
 
     if metric == "dot":
@@ -357,7 +425,6 @@ def knn_lsh(
                 F.col("a.qraw").alias("qv"),
                 F.col("b.nraw").alias("nv"),
             )
-            .dropDuplicates(["qid", "nid"])
         )
         d = -_dot("qv", "nv")
     elif metric == "angular":
@@ -381,7 +448,6 @@ def knn_lsh(
                 F.col("a.unit_vec").alias("qv"),
                 F.col("b.unit_vec").alias("nv"),
             )
-            .dropDuplicates(["qid", "nid"])
         )
         d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
     elif metric in ("euclidean", "manhattan"):
@@ -408,7 +474,6 @@ def knn_lsh(
                 F.col("a.raw").alias("qv"),
                 F.col("b.raw").alias("nv"),
             )
-            .dropDuplicates(["qid", "nid"])
         )
         if metric == "euclidean":
             diff = F.zip_with("qv", "nv", lambda x, y: x - y)
@@ -421,25 +486,10 @@ def knn_lsh(
             )
     elif metric == "hamming":
         # dim here = number of 64-bit words; sample bit positions per table
-        n_sig_bits = dim * 64
-        rng = np.random.default_rng([seed, 0x4A11])
         raw = F.col(vec_col)
-
-        def table_key(t: int) -> F.Column:
-            pos = rng.choice(n_sig_bits, size=min(n_bits, n_sig_bits),
-                             replace=False)
-            key = F.lit(t).cast("long")
-            for i, p in enumerate(sorted(int(x) for x in pos)):
-                w, off = divmod(p, 64)
-                bit = F.shiftrightunsigned(
-                    F.element_at(raw, w + 1), off
-                ).bitwiseAND(F.lit(1))
-                key = key + F.shiftleft(bit, 8 + i)
-            return key
-
         base = items.select(
             F.col(id_col).alias("id"), raw.alias("raw"),
-            F.array(*[table_key(t) for t in range(n_tables)]).alias("keys"),
+            hamming_keys_col(raw, dim, n_tables, n_bits, seed).alias("keys"),
         )
         buckets = _cap_buckets(
             base.select("id", "raw", F.explode("keys").alias("bucket")),
@@ -455,7 +505,6 @@ def knn_lsh(
                 F.col("a.raw").alias("qv"),
                 F.col("b.raw").alias("nv"),
             )
-            .dropDuplicates(["qid", "nid"])
         )
         d = F.aggregate(
             F.zip_with(
@@ -471,9 +520,4 @@ def knn_lsh(
             f"'manhattan','hamming'), got {metric}"
         )
 
-    scored = cand.select("qid", "nid", d.alias("distance"))
-    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return _topk(cand, d, k)

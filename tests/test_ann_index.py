@@ -1,0 +1,160 @@
+"""Persisted ANN index lifecycle tests — annoy's build -> save -> load ->
+query-forever contract (/root/reference/src/annoylib.h:1093-1222;
+golden-index determinism of test/index_test.py:29-34) plus by-vector
+queries on every approximate path (get_nns_by_vector,
+annoylib.h:1234-1236)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from annoy_spark.operators.forest import knn_forest
+from annoy_spark.operators.ivf import knn_ivf
+from annoy_spark.operators.knn import knn_bruteforce, knn_lsh
+from annoy_spark.sources.ann_index import (
+    AnnIndexConfig,
+    build_index,
+    load_index,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(7)
+    n, dim = 400, 16
+    centers = rng.standard_normal((20, dim)) * 3
+    vecs = centers[np.arange(n) % 20] + rng.standard_normal((n, dim)) * 0.3
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, corpus):
+    # by-VECTOR queries: ids disjoint from the items (a query is not a
+    # stored item — annoylib.h:1234-1236)
+    from pyspark.sql import functions as F
+
+    return (
+        corpus.where(F.col("vec_id") % 40 == 0)
+        .select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + 0.01).alias("embedding"),
+        )
+        .cache()
+    )
+
+
+def _recall(exact_rows, approx_rows, k):
+    truth, found = {}, {}
+    for r in exact_rows:
+        truth.setdefault(r.qid, set()).add(r.nid)
+    for r in approx_rows:
+        found.setdefault(r.qid, set()).add(r.nid)
+    return sum(len(truth[q] & found.get(q, set())) for q in truth) / (
+        len(truth) * k
+    )
+
+
+def test_save_load_query_bit_identical(spark, corpus, queries, tmp_path):
+    """The golden-index contract: querying the RELOADED index returns
+    bit-identical rows to querying the live just-built one."""
+    cfg = AnnIndexConfig(kind="forest", metric="angular", n_trees=8, seed=42)
+    root = str(tmp_path / "idx")
+    live = build_index(spark, corpus, root, cfg)
+    a = sorted(
+        live.query(queries, k=10, spill_eps=0.2).collect(),
+        key=lambda r: (r.qid, r.rank),
+    )
+    reloaded = load_index(spark, root, expected=cfg)
+    b = sorted(
+        reloaded.query(queries, k=10, spill_eps=0.2).collect(),
+        key=lambda r: (r.qid, r.rank),
+    )
+    assert len(a) > 0
+    assert [(r.qid, r.nid, r.rank, r.distance) for r in a] == [
+        (r.qid, r.nid, r.rank, r.distance) for r in b
+    ]
+
+
+def test_load_rejects_config_change(spark, corpus, tmp_path):
+    """annoy load-validation analog (annoylib.h:1185-1188): an index built
+    under one config refuses to serve a different one."""
+    cfg = AnnIndexConfig(kind="forest", metric="angular", n_trees=4, seed=42)
+    root = str(tmp_path / "idx2")
+    build_index(spark, corpus, root, cfg)
+    other = AnnIndexConfig(kind="forest", metric="angular", n_trees=8,
+                           seed=42)
+    with pytest.raises(ValueError, match="refusing"):
+        load_index(spark, root, expected=other)
+    # and a fresh load without expectations still works
+    assert load_index(spark, root).cfg.n_trees == 4
+
+
+def test_forest_by_vector_recall(spark, corpus, queries):
+    k = 10
+    exact = knn_bruteforce(corpus, queries, k=k).collect()
+    approx = knn_forest(
+        corpus, k=k, n_trees=16, seed=42, sample_fraction=1.0,
+        queries=queries, spill_eps=0.15,
+    ).collect()
+    r = _recall(exact, approx, k)
+    assert r >= 0.9, f"forest by-vector recall {r:.3f}"
+
+
+def test_ivf_by_vector_recall(spark, corpus, queries):
+    k = 10
+    exact = knn_bruteforce(corpus, queries, k=k).collect()
+    approx = knn_ivf(
+        corpus, k=k, n_centroids=20, nprobe=5, seed=42,
+        sample_fraction=1.0, queries=queries,
+    ).collect()
+    r = _recall(exact, approx, k)
+    assert r >= 0.9, f"ivf by-vector recall {r:.3f}"
+
+
+def test_lsh_by_vector_recall(spark, corpus, queries):
+    k = 10
+    exact = knn_bruteforce(corpus, queries, k=k).collect()
+    approx = knn_lsh(
+        corpus, k=k, n_tables=12, n_bits=6, seed=42, queries=queries
+    ).collect()
+    r = _recall(exact, approx, k)
+    assert r >= 0.9, f"lsh by-vector recall {r:.3f}"
+
+
+def test_mips_by_vector_recall(spark, corpus, queries):
+    """dot metric by-vector: items get the sqrt(M^2-|x|^2) augmentation,
+    queries the 0 one (annoylib.h:605-703)."""
+    k = 10
+    exact = knn_bruteforce(corpus, queries, k=k, metric="dot").collect()
+    approx = knn_lsh(
+        corpus, k=k, n_tables=24, n_bits=4, seed=42, metric="dot",
+        queries=queries,
+    ).collect()
+    r = _recall(exact, approx, k)
+    assert r >= 0.85, f"mips by-vector recall {r:.3f}"
+
+
+def test_hamming_by_vector_exact_on_identical(spark):
+    """hamming by-vector: querying with a stored signature's twin finds it
+    at distance 0 (packed int64 words, annoylib.h:707-796)."""
+    rng = np.random.default_rng(3)
+    sigs = [
+        (i, [int(x) for x in rng.integers(-(2**62), 2**62, 2)])
+        for i in range(200)
+    ]
+    items = spark.createDataFrame(sigs, "vec_id long, embedding array<long>")
+    qs = spark.createDataFrame(
+        [(10_000 + i, v) for i, v in sigs[:5]],
+        "vec_id long, embedding array<long>",
+    )
+    got = knn_lsh(
+        items, k=3, n_tables=8, n_bits=6, seed=42, metric="hamming",
+        queries=qs,
+    ).collect()
+    best = {r.qid: (r.nid, r.distance) for r in got if r.rank == 1}
+    for i in range(5):
+        assert best[10_000 + i] == (i, 0.0)
