@@ -71,8 +71,9 @@ def all_candidate_edges(
     representatives, ex_edges = exact_edges(signatures)
     lsh, skipped = candidate_edges(representatives, cfg)
     edges = ex_edges.select(
-        "u", "v", F.lit("exact").alias("kind")
-    ).unionByName(lsh.select("u", "v", "kind"))
+        "u", "v", F.lit("exact").alias("kind"),
+        F.lit(0).alias("from_star"),
+    ).unionByName(lsh.select("u", "v", "kind", "from_star"))
     return edges, skipped
 
 
@@ -150,12 +151,22 @@ def candidate_edges(
     # for the rescue pass (pipeline.py) — two star members that are true
     # near-dups of each other but not of the group min would otherwise
     # never get a direct edge and their cluster would silently split.
-    # A pair seen by BOTH tiers keeps 'lsh' (min: already fully enumerated).
+    # A pair seen by BOTH tiers keeps kind='lsh' (already fully enumerated
+    # somewhere) but RETAINS from_star=1: rescue eligibility must survive
+    # the min-collapse, or a (center, member) edge that also occurred in a
+    # small band group would silently drop the member from the center's
+    # failed-member set and the split the rescue pass exists to fix could
+    # still occur through that path.
     pairs = (
         full_pairs.select("u", "v", F.lit("lsh").alias("kind"))
         .unionByName(star_pairs.select("u", "v", F.lit("lsh_star").alias("kind")))
         .unionByName(salted_pairs.select("u", "v", F.lit("lsh_star").alias("kind")))
         .groupBy("u", "v")
-        .agg(F.min("kind").alias("kind"))
+        .agg(
+            F.min("kind").alias("kind"),
+            F.max(
+                F.when(F.col("kind") == "lsh_star", 1).otherwise(0)
+            ).alias("from_star"),
+        )
     )
     return pairs, skipped

@@ -124,9 +124,16 @@ def _score_lsh(
     (u, v, kind, jaccard, hamming, min_shingles) — pass/fail NOT applied,
     so callers can inspect failures (the rescue pass needs them)."""
     sig = signatures.select("file_id", "shingle_hashes", "simhash", "n_shingles")
-    candidates = candidates.where(F.col("kind") != "exact").select(
-        "u", "v", "kind"
-    )
+    candidates = candidates.where(F.col("kind") != "exact")
+    if "from_star" in candidates.columns:
+        candidates = candidates.select("u", "v", "kind", "from_star")
+    else:
+        # legacy callers without provenance: a star edge is exactly
+        # kind == 'lsh_star' (no min-collapse happened upstream)
+        candidates = candidates.select(
+            "u", "v", "kind",
+            (F.col("kind") == "lsh_star").cast("int").alias("from_star"),
+        )
     cand = F.broadcast(candidates) if small_candidates else candidates
     sig_u = sig.select(
         F.col("file_id").alias("u"),
@@ -149,6 +156,7 @@ def _score_lsh(
         "u",
         "v",
         "kind",
+        "from_star",
         jaccard_udf(F.col("sh_u"), F.col("sh_v")).alias("jaccard"),
         hamming_col("sim_u", "sim_v", cfg.simhash_words).alias("hamming"),
         F.least("ns_u", "ns_v").alias("min_shingles"),
@@ -186,8 +194,11 @@ def verify_with_rescue(
     passed = scored.where(_pass_expr(cfg)).select(
         "u", "v", "kind", "jaccard", "hamming"
     )
+    # rescue eligibility = ANY star-tier provenance (from_star survives the
+    # min-collapse that can downgrade kind to 'lsh' when the same pair was
+    # also fully enumerated in another small band group)
     failed_star = scored.where(
-        (~_pass_expr(cfg)) & (F.col("kind") == "lsh_star")
+        (~_pass_expr(cfg)) & (F.col("from_star") == 1)
     ).select("u", "v")
     rescue = star_rescue_candidates(failed_star, cfg.star_rescue_cap)
     if rescue.isEmpty():

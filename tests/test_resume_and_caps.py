@@ -160,6 +160,24 @@ def test_star_rescue_connects_split_members(spark):
     ab = tuple(sorted((ids["a"], ids["b"])))
     assert ab in pairs, f"rescue must recover the a-b edge, got {pairs}"
     assert pairs[ab] == "lsh_rescue"
+
+    # the min-collapse case: (center, a) was ALSO fully enumerated in some
+    # small band group, so its kind was downgraded to 'lsh' — but its
+    # from_star provenance must keep it rescue-eligible, or the a-b edge
+    # is silently lost through exactly the path the rescue pass exists for
+    cand2 = spark.createDataFrame(
+        [
+            (ids["center"], ids["a"], "lsh", 1),
+            (ids["center"], ids["b"], "lsh_star", 1),
+        ],
+        "u long, v long, kind string, from_star int",
+    )
+    out2 = verify_with_rescue(cand2, sigs, cfg, small_candidates=True).collect()
+    pairs2 = {(r.u, r.v): r.kind for r in out2}
+    assert ab in pairs2, (
+        f"downgraded-kind star edge must stay rescue-eligible, got {pairs2}"
+    )
+    assert pairs2[ab] == "lsh_rescue"
     # and the center edges correctly stay failed
     assert (ids["center"], ids["a"]) not in pairs
 
