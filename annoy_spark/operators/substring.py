@@ -182,41 +182,126 @@ def make_fingerprint_udf(cfg: DedupConfig):
 
 _EXTEND_SCHEMA = "u long, v long, match_len long"
 
+_SCAN_W0 = 4096          # first comparison-window width per round
+_SCAN_WMAX = 1 << 22     # window growth cap (4 MiB per anchor per round)
+
+
+def _batch_extend(
+    ca: np.ndarray,
+    cb: np.ndarray,
+    base_u: np.ndarray,
+    base_v: np.ndarray,
+    avail: np.ndarray,
+    backwards: bool,
+) -> np.ndarray:
+    """Per-anchor maximal match length in one direction, vectorized over
+    ALL anchors of the batch at once: each round gathers a (active, W)
+    2-D slice from the two concatenated byte buffers, one != + argmax per
+    round finds the first mismatch; anchors that matched their whole
+    window survive to the next (doubled) window. Rounds are O(log of the
+    longest match), every comparison is a flat numpy kernel — no per-pair
+    (or per-anchor) Python loop.
+
+    base_*: flat index of the first byte to compare (for backwards, the
+    byte just LEFT of the anchor); avail: max comparable bytes (min of
+    both sides' remaining lengths). Returns matched byte counts."""
+    n = len(base_u)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    cur = np.zeros(n, dtype=np.int64)
+    active = np.flatnonzero(avail > 0)
+    w = _SCAN_W0
+    sign = -1 if backwards else 1
+    while len(active):
+        width = np.minimum(w, (avail - cur)[active])
+        wmax = int(width.max())
+        steps = np.arange(wmax, dtype=np.int64)
+        iu = base_u[active, None] + sign * (cur[active, None] + steps)
+        iv = base_v[active, None] + sign * (cur[active, None] + steps)
+        # positions past this anchor's width: force "mismatch" so argmax
+        # stops exactly at the boundary (clip keeps the gather in-bounds)
+        pad = steps[None, :] >= width[:, None]
+        neq = (
+            ca[np.clip(iu, 0, len(ca) - 1)]
+            != cb[np.clip(iv, 0, len(cb) - 1)]
+        ) | pad
+        first = np.where(neq.any(axis=1), neq.argmax(axis=1), wmax)
+        matched = np.minimum(first, width)
+        cur[active] += matched
+        # survivors matched their FULL window and still have bytes left
+        alive = (matched == width) & ((avail - cur)[active] > 0) & (
+            first >= width
+        )
+        active = active[alive]
+        w = min(w * 2, _SCAN_WMAX)
+    out[:] = cur
+    return out
+
 
 def make_extend_verifier(cfg: DedupConfig):
     min_len = cfg.min_substring_len
-    chunk = cfg.substring_chunk
 
     def verify_batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                a = np.frombuffer(r.content_u.encode("utf-8"), dtype=np.uint8)
-                b = np.frombuffer(r.content_v.encode("utf-8"), dtype=np.uint8)
-                best = 0
-                for pu, pv in zip(r.pos_u, r.pos_v):
-                    pu, pv = int(pu), int(pv)
-                    if pu >= len(a) or pv >= len(b):
-                        continue
-                    # right extension (includes the anchor gram)
-                    m = min(len(a) - pu, len(b) - pv)
-                    seg = a[pu : pu + m] != b[pv : pv + m]
-                    right = int(np.argmax(seg)) if seg.any() else m
-                    # left extension
-                    m2 = min(pu, pv)
-                    if m2:
-                        seg2 = a[pu - m2 : pu][::-1] != b[pv - m2 : pv][::-1]
-                        left = int(np.argmax(seg2)) if seg2.any() else m2
-                    else:
-                        left = 0
-                    # no early break at min_len: match_len reports the TRUE
-                    # maximal extension, and anchors on a period-shifted
-                    # diagonal under-extend — a later aligned anchor must
-                    # still get its chance (<=8 anchors, scans are cheap)
-                    best = max(best, left + right)
-                if best >= min_len:
-                    rows.append((r.u, r.v, best))
-            yield pd.DataFrame(rows, columns=["u", "v", "match_len"])
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["u", "v", "match_len"])
+                continue
+            # one encode per row (single C call each), concatenated into
+            # two flat buffers so every anchor scan is a numpy gather
+            abufs = [
+                np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                for s in pdf["content_u"]
+            ]
+            bbufs = [
+                np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                for s in pdf["content_v"]
+            ]
+            la = np.fromiter((len(x) for x in abufs), np.int64, len(abufs))
+            lb = np.fromiter((len(x) for x in bbufs), np.int64, len(bbufs))
+            oa = np.concatenate(([0], np.cumsum(la)[:-1]))
+            ob = np.concatenate(([0], np.cumsum(lb)[:-1]))
+            ca = np.concatenate(abufs) if la.sum() else np.zeros(1, np.uint8)
+            cb = np.concatenate(bbufs) if lb.sum() else np.zeros(1, np.uint8)
+
+            # flatten (row, anchor) pairs; drop anchors past either string
+            n_anc = np.fromiter(
+                (len(x) for x in pdf["pos_u"]), np.int64, len(pdf)
+            )
+            row = np.repeat(np.arange(len(pdf), dtype=np.int64), n_anc)
+            pu = (
+                np.concatenate(list(pdf["pos_u"])).astype(np.int64)
+                if n_anc.sum() else np.empty(0, np.int64)
+            )
+            pv = (
+                np.concatenate(list(pdf["pos_v"])).astype(np.int64)
+                if n_anc.sum() else np.empty(0, np.int64)
+            )
+            ok = (pu < la[row]) & (pv < lb[row])
+            row, pu, pv = row[ok], pu[ok], pv[ok]
+
+            # right extension (includes the anchor gram) + left extension;
+            # no early stop at min_len: match_len reports the TRUE maximal
+            # extension and only the best-aligned anchor reaches it
+            right = _batch_extend(
+                ca, cb, oa[row] + pu, ob[row] + pv,
+                np.minimum(la[row] - pu, lb[row] - pv), backwards=False,
+            )
+            left = _batch_extend(
+                ca, cb, oa[row] + pu - 1, ob[row] + pv - 1,
+                np.minimum(pu, pv), backwards=True,
+            )
+            total = left + right
+            best = np.zeros(len(pdf), dtype=np.int64)
+            np.maximum.at(best, row, total)
+            keep = best >= min_len
+            yield pd.DataFrame(
+                {
+                    "u": pdf["u"].to_numpy()[keep],
+                    "v": pdf["v"].to_numpy()[keep],
+                    "match_len": best[keep],
+                }
+            )
 
     return verify_batch
 
