@@ -66,6 +66,57 @@ def main() -> None:
         })
         print(rows[-1])
 
+    # MIPS (dot) budget sweep — the Bachrach-reduction path, measured
+    # against the exact dot top-k (every approximate family gets a budget
+    # curve, the examples/precision_test.py model)
+    exact_dot = {
+        (r.qid, r.nid)
+        for r in knn_bruteforce(emb, emb, k=K, metric="dot")
+        .select("qid", "nid").collect()
+    }
+    mips_rows = []
+    for n_tables, n_bits in [(8, 4), (16, 4), (32, 4), (32, 6)]:
+        t0 = time.time()
+        approx = knn_lsh(
+            emb, k=K, n_tables=n_tables, n_bits=n_bits, seed=42, metric="dot"
+        ).select("qid", "nid").collect()
+        dt = time.time() - t0
+        got = {(r.qid, r.nid) for r in approx}
+        recall = len(exact_dot & got) / len(exact_dot)
+        mips_rows.append({
+            "n_tables": n_tables, "n_bits": n_bits,
+            "recall_at_10": round(recall, 4),
+            "result_pairs": len(got), "sec": round(dt, 2),
+        })
+        print("mips", mips_rows[-1])
+
+    # p-stable E2LSH euclidean sweep — budget axes are tables x bits x
+    # quantization width (the width is the search_k-like cost knob:
+    # wider cells = more candidates = higher recall)
+    exact_euc = {
+        (r.qid, r.nid)
+        for r in knn_bruteforce(emb, emb, k=K, metric="euclidean")
+        .select("qid", "nid").collect()
+    }
+    pstable_rows = []
+    for n_tables, n_bits, width in [
+        (8, 4, 2.0), (16, 4, 2.0), (16, 4, 4.0), (32, 4, 4.0),
+    ]:
+        t0 = time.time()
+        approx = knn_lsh(
+            emb, k=K, n_tables=n_tables, n_bits=n_bits, seed=42,
+            metric="euclidean", bucket_width=width,
+        ).select("qid", "nid").collect()
+        dt = time.time() - t0
+        got = {(r.qid, r.nid) for r in approx}
+        recall = len(exact_euc & got) / len(exact_euc)
+        pstable_rows.append({
+            "n_tables": n_tables, "n_bits": n_bits, "width": width,
+            "recall_at_10": round(recall, 4),
+            "result_pairs": len(got), "sec": round(dt, 2),
+        })
+        print("pstable", pstable_rows[-1])
+
     from annoy_spark.operators.forest import knn_forest
     from annoy_spark.operators.ivf import knn_ivf
 
@@ -104,7 +155,8 @@ def main() -> None:
         print(forest_rows[-1])
 
     out = {"sf_dir": sf_dir, "n_items": n_items, "k": K, "sweep": rows,
-           "forest_sweep": forest_rows, "ivf_sweep": ivf_rows}
+           "forest_sweep": forest_rows, "ivf_sweep": ivf_rows,
+           "mips_sweep": mips_rows, "pstable_sweep": pstable_rows}
     (REPO / "BENCH" / "precision_sweep.json").write_text(
         json.dumps(out, indent=1)
     )
@@ -126,6 +178,38 @@ def main() -> None:
         md.append(
             f"| {r['n_tables']} | {r['n_bits']} | {r['recall_at_10']:.3f} "
             f"| {r['sec']} |"
+        )
+    md += [
+        "",
+        "## MIPS via Bachrach reduction (dot metric)",
+        "",
+        "recall@10 of `knn_lsh(metric='dot')` vs the exact dot top-10 "
+        "(items augmented with sqrt(M²-|x|²), queries with 0 — "
+        "annoylib.h:605-703).",
+        "",
+        "| n_tables | n_bits | recall@10 | sec |",
+        "|---|---|---|---|",
+    ]
+    for r in mips_rows:
+        md.append(
+            f"| {r['n_tables']} | {r['n_bits']} | {r['recall_at_10']:.3f} "
+            f"| {r['sec']} |"
+        )
+    md += [
+        "",
+        "## p-stable E2LSH euclidean (width = the cost knob)",
+        "",
+        "recall@10 of `knn_lsh(metric='euclidean')` vs the exact L2 "
+        "top-10 (Datar et al. '04 Gaussian projections; annoy's "
+        "two-means euclidean splits re-expressed data-independent).",
+        "",
+        "| n_tables | n_bits | width | recall@10 | sec |",
+        "|---|---|---|---|---|",
+    ]
+    for r in pstable_rows:
+        md.append(
+            f"| {r['n_tables']} | {r['n_bits']} | {r['width']} "
+            f"| {r['recall_at_10']:.3f} | {r['sec']} |"
         )
     md += [
         "",
