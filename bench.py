@@ -82,17 +82,27 @@ def main() -> None:
         for name in ("documents", "embeddings"):
             spark.read.parquet(f"{sf_dir}/{name}.parquet") \
                 .createOrReplaceTempView(name)
+        # min-of-N per gate query (same steal-noise methodology as the
+        # pipeline timing; duplicate_clusters gets 3 rounds — it swung
+        # 11-14 s across rounds on single runs)
         for name in GATE_QUERIES:
-            t0 = time.time()
-            if name == "duplicate_clusters":
-                from annoy_spark.operators.cluster import connected_components
+            rounds = 3 if name == "duplicate_clusters" else 2
+            best = None
+            for _ in range(rounds):
+                t0 = time.time()
+                if name == "duplicate_clusters":
+                    from annoy_spark.operators.cluster import (
+                        connected_components,
+                    )
 
-                edges = spark.sql(G.duplicate_clusters_edges_sql_spark())
-                nodes = spark.sql(G.duplicate_clusters_nodes_sql_spark())
-                connected_components(edges, nodes).count()
-            else:
-                spark.sql(G.spark_sql_for(name)).count()
-            timings[name] = time.time() - t0
+                    edges = spark.sql(G.duplicate_clusters_edges_sql_spark())
+                    nodes = spark.sql(G.duplicate_clusters_nodes_sql_spark())
+                    connected_components(edges, nodes).count()
+                else:
+                    spark.sql(G.spark_sql_for(name)).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = best
 
         # --- scale-safe all-pairs Hamming: pigeonhole multi-index vs the
         # --- O(n^2) theta-join it replaces, in PRODUCT shape (the
@@ -110,9 +120,15 @@ def main() -> None:
             F.col("file_id").alias("doc_id"), F.col("simhash").alias("sig")
         ).cache()
         sigs.count()
-        t0 = time.time()
-        hamming_pairs(sigs, t=cfg.hamming_t, n_bits=cfg.simhash_bits).count()
-        timings["hamming_pairs_pigeonhole"] = time.time() - t0
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            hamming_pairs(
+                sigs, t=cfg.hamming_t, n_bits=cfg.simhash_bits
+            ).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings["hamming_pairs_pigeonhole"] = best
         a = sigs.select(F.col("doc_id").alias("u"), F.col("sig").alias("sa"))
         b = sigs.select(F.col("doc_id").alias("v"), F.col("sig").alias("sb"))
         t0 = time.time()
@@ -129,9 +145,13 @@ def main() -> None:
 
         # --- ANN over embeddings ---
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        t0 = time.time()
-        knn_lsh(emb, k=10, n_tables=12, n_bits=8, seed=42).count()
-        timings["knn_lsh"] = time.time() - t0
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            knn_lsh(emb, k=10, n_tables=12, n_bits=8, seed=42).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings["knn_lsh"] = best
 
         total = sum(timings.values())
         print(json.dumps({
