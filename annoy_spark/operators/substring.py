@@ -182,8 +182,14 @@ def make_fingerprint_udf(cfg: DedupConfig):
 
 _EXTEND_SCHEMA = "u long, v long, match_len long"
 
-_SCAN_W0 = 4096          # first comparison-window width per round
-_SCAN_WMAX = 1 << 22     # window growth cap (4 MiB per anchor per round)
+# Window schedule: most anchors mismatch within a few bytes (failed
+# candidates), so the FIRST window is tiny — the per-anchor cost is
+# ~2*match_len + W0 gathered bytes, vs scanning the full remaining file
+# per anchor. The cap bounds the int64 index matrices the 2-D gather
+# builds (16 B per compared byte), trading a linear tail on
+# multi-megabyte matches for bounded memory.
+_SCAN_W0 = 64            # first comparison-window width per round
+_SCAN_WMAX = 1 << 18     # window growth cap (256 KiB per anchor per round)
 
 
 def _batch_extend(
