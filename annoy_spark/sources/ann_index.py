@@ -343,12 +343,16 @@ def _query_plan(
             ).alias("salt"),
         )
     )
+    # query-derived sides are broadcast BY CONTRACT (query batches are
+    # online-lookup-sized; the stored buckets/vectors relations are the
+    # 10^12-row side and must only ever be streamed) — the hint pins the
+    # build side so the plan holds at any corpus scale
     cand = (
-        qroutes.join(assign, ["bucket", "salt"])
+        F.broadcast(qroutes).join(assign, ["bucket", "salt"])
         .select("qid", "nid")
         .dropDuplicates(["qid", "nid"])
     )
-    joined = cand.join(vectors, "nid").join(
+    joined = F.broadcast(cand).join(vectors, "nid").join(
         F.broadcast(qbase.select("qid", "qv")), "qid"
     )
     scored = joined.select(

@@ -89,6 +89,28 @@ def main() -> None:
     ] = plan_of(knn_forest(emb, k=3, n_trees=4, leaf_cap=16,
                            sample_fraction=1.0))
 
+    # persisted ANN index: by-vector query against STORED parquet
+    # artifacts — parquet scans of buckets/vectors, broadcast query
+    # routing, narrow (qid, nid) dedup before the vector re-attach
+    import tempfile
+
+    from annoy_spark.sources.ann_index import AnnIndexConfig, build_index
+
+    idx_root = tempfile.mkdtemp(prefix="plans_annidx_")
+    idx = build_index(
+        spark, emb, idx_root,
+        AnnIndexConfig(kind="forest", n_trees=4, leaf_cap=16,
+                       sample_fraction=1.0),
+    )
+    queries = emb.limit(5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    sections[
+        "ANN INDEX QUERY (stored bucket/vector parquet scans, broadcast "
+        "query routing + salt replication, narrow (qid,nid) dedup, "
+        "re-attach vectors, exact re-rank)"
+    ] = plan_of(idx.query(queries, k=3, spill_eps=0.1))
+
     out = ["# PLANS — physical plan evidence (auto-generated)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
     for title, text in sections.items():
