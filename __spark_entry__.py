@@ -307,6 +307,24 @@ def _knn_pstable_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_stats(emb, exact, approx, 10, PSTABLE_MIN_RECALL_PCT)
 
 
+def _knn_manhattan_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manhattan twin of the p-stable gate (Cauchy projections, p=1 —
+    annoy's Manhattan splits, annoylib.h:875-891): recall@k vs the exact
+    L1 top-k. Cauchy tails need ~16x the L2 quantization width (w=64
+    measures 0.989 vs the 0.90 contract on this corpus)."""
+    from annoy_spark.operators.knn import knn_bruteforce, knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    approx = knn_lsh(
+        emb, k=10, n_tables=16, n_bits=4, seed=42, metric="manhattan",
+        bucket_width=64.0,
+    ).select("qid", "nid")
+    exact = knn_bruteforce(emb, emb, k=10, metric="manhattan").select(
+        "qid", "nid"
+    )
+    return _recall_stats(emb, exact, approx, 10, PSTABLE_MIN_RECALL_PCT)
+
+
 HAMMING_LSH_MIN_RECALL_PCT = 90
 
 
@@ -374,6 +392,40 @@ def _knn_forest_by_vector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_index(spark, emb, root, cfg)
     idx = load_index(spark, root, expected=cfg)
     approx = idx.query(qs, k=10, spill_eps=0.05).select("qid", "nid")
+    exact = knn_bruteforce(emb, qs, k=10).select("qid", "nid")
+    return _recall_stats(emb, exact, approx, 10, FOREST_BV_MIN_RECALL_PCT)
+
+
+def _ann_query_stream_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN SERVING (annoy's load-the-shared-index-and-answer-
+    lookups workflow, README.rst:25-27, as Structured Streaming): build +
+    save the forest index, then answer a STREAM of query vectors from the
+    persisted artifacts via foreachBatch (availableNow drain, exactly-once
+    sink), and gate recall@k of the streamed answers vs the exact angular
+    top-k."""
+    import tempfile
+
+    from annoy_spark.operators.knn import knn_bruteforce
+    from annoy_spark.sources.ann_index import AnnIndexConfig, build_index
+    from annoy_spark.streaming.ann_query_stream import ann_query_stream
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = _by_vector_queries(emb)
+    cfg = AnnIndexConfig(
+        kind="forest", metric="angular", n_trees=32, leaf_cap=32, seed=42,
+        sample_fraction=1.0,
+    )
+    tmp = tempfile.mkdtemp(prefix="annoy_spark_servestream_")
+    build_index(spark, emb, f"{tmp}/idx", cfg)
+    qs.write.mode("append").parquet(f"{tmp}/in")
+    _await_or_raise(
+        ann_query_stream(
+            spark, f"{tmp}/idx", f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck",
+            k=10, spill_eps=0.05,
+        ),
+        300,
+    )
+    approx = spark.read.parquet(f"{tmp}/out").select("qid", "nid")
     exact = knn_bruteforce(emb, qs, k=10).select("qid", "nid")
     return _recall_stats(emb, exact, approx, 10, FOREST_BV_MIN_RECALL_PCT)
 
@@ -718,10 +770,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_forest_euclid_recall"] = _knn_forest_euclid_recall
     out["knn_mips_recall"] = _knn_mips_recall
     out["knn_pstable_recall"] = _knn_pstable_recall
+    out["knn_manhattan_lsh_recall"] = _knn_manhattan_lsh_recall
     out["knn_hamming_lsh_recall"] = _knn_hamming_lsh_recall
     out["knn_forest_by_vector_recall"] = _knn_forest_by_vector_recall
     out["knn_ivf_by_vector_recall"] = _knn_ivf_by_vector_recall
     out["knn_lsh_by_vector_recall"] = _knn_lsh_by_vector_recall
+    out["ann_query_stream_recall"] = _ann_query_stream_recall
     out["embedding_near_dup_recall"] = _embedding_near_dup_recall
     out["hamming_pairs_pigeonhole"] = _hamming_pairs_pigeonhole
     out["media_features"] = _media_features
@@ -743,6 +797,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["knn_mips_recall"] = G.q_knn_lsh_recall_duck(MIPS_MIN_RECALL_PCT)
     out["knn_pstable_recall"] = G.q_knn_lsh_recall_duck(PSTABLE_MIN_RECALL_PCT)
+    out["knn_manhattan_lsh_recall"] = G.q_knn_lsh_recall_duck(
+        PSTABLE_MIN_RECALL_PCT
+    )
     out["knn_hamming_lsh_recall"] = G.q_knn_hamming_lsh_recall_duck(
         HAMMING_LSH_MIN_RECALL_PCT
     )
@@ -754,6 +811,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["knn_lsh_by_vector_recall"] = G.q_knn_lsh_recall_duck(
         LSH_MIN_RECALL_PCT
+    )
+    out["ann_query_stream_recall"] = G.q_knn_lsh_recall_duck(
+        FOREST_BV_MIN_RECALL_PCT
     )
     out["embedding_near_dup_recall"] = G.q_embedding_near_dup_recall_duck(
         LSH_MIN_RECALL_PCT

@@ -138,6 +138,63 @@ def test_mips_by_vector_recall(spark, corpus, queries):
     assert r >= 0.85, f"mips by-vector recall {r:.3f}"
 
 
+def test_ann_query_stream_matches_batch(spark, corpus, queries, tmp_path):
+    """Streaming serving loop (README.rst:25-27: load the shared index,
+    answer lookups): an availableNow drain over a query-vector directory
+    must produce EXACTLY the batch query() rows, and a second batch
+    against the same checkpoint must answer only the new queries."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.streaming.ann_query_stream import ann_query_stream
+
+    cfg = AnnIndexConfig(kind="forest", metric="angular", n_trees=8, seed=42)
+    root = str(tmp_path / "idx")
+    idx = build_index(spark, corpus, root, cfg)
+
+    inp, out, ck = (str(tmp_path / d) for d in ("qin", "qout", "qck"))
+    queries.write.mode("append").parquet(inp)
+    q = ann_query_stream(spark, root, inp, out, ck, k=5, spill_eps=0.1)
+    assert q.awaitTermination(300)
+
+    got = sorted(
+        spark.read.parquet(out).select(
+            "qid", "nid", "rank", "distance"
+        ).collect(),
+        key=lambda r: (r.qid, r.rank),
+    )
+    want = sorted(
+        idx.query(queries, k=5, spill_eps=0.1).collect(),
+        key=lambda r: (r.qid, r.rank),
+    )
+    assert [(r.qid, r.nid, r.rank, r.distance) for r in got] == [
+        (r.qid, r.nid, r.rank, r.distance) for r in want
+    ]
+
+    # second wave of queries: checkpoint resumes, only new files answered
+    q2 = queries.select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    q2.write.mode("append").parquet(inp)
+    qq = ann_query_stream(spark, root, inp, out, ck, k=5, spill_eps=0.1)
+    assert qq.awaitTermination(300)
+    all_rows = spark.read.parquet(out)
+    n_q1 = queries.count()
+    assert all_rows.select("qid").distinct().count() == 2 * n_q1
+    want2 = sorted(
+        idx.query(q2, k=5, spill_eps=0.1).collect(),
+        key=lambda r: (r.qid, r.rank),
+    )
+    got2 = sorted(
+        all_rows.where(F.col("qid") >= 15_000_000).select(
+            "qid", "nid", "rank", "distance"
+        ).collect(),
+        key=lambda r: (r.qid, r.rank),
+    )
+    assert [(r.qid, r.nid, r.rank, r.distance) for r in got2] == [
+        (r.qid, r.nid, r.rank, r.distance) for r in want2
+    ]
+
+
 def test_hamming_by_vector_exact_on_identical(spark):
     """hamming by-vector: querying with a stored signature's twin finds it
     at distance 0 (packed int64 words, annoylib.h:707-796)."""

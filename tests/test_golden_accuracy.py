@@ -34,6 +34,7 @@ GOLDEN = {
     "ivf_32c16p": 0.8560,
     "mips_32x4": 0.9878,
     "pstable_euclid_16x4": 0.9996,
+    "pstable_manhattan_16x4_w64": 0.9890,
     "hamming_lsh_32x4": 0.9997,
 }
 
@@ -110,6 +111,17 @@ def test_golden_pstable_euclid(emb, exact):
         bucket_width=4.0,
     ).collect()
     _check("pstable_euclid_16x4", _recall(exact["euclidean"], ap))
+
+
+def test_golden_pstable_manhattan(emb):
+    # Cauchy projections have heavy tails, so L1 cells need ~16x the L2
+    # width for the same recall (w=4 -> 0.01, w=64 -> 0.989 on this corpus)
+    ex = knn_bruteforce(emb, emb, k=K, metric="manhattan").collect()
+    ap = knn_lsh(
+        emb, k=K, n_tables=16, n_bits=4, seed=42, metric="manhattan",
+        bucket_width=64.0,
+    ).collect()
+    _check("pstable_manhattan_16x4_w64", _recall(ex, ap))
 
 
 def test_golden_hamming_lsh(spark):
