@@ -1,0 +1,123 @@
+"""spark-submit entry point for the persisted ANN index lifecycle.
+
+    spark-submit --py-files annoy_spark.zip annoy_spark/submit_index.py \
+        build --items <parquet/table of (vec_id, embedding)> --root <dir> \
+              [--kind forest|ivf|lsh] [--metric angular|...] [--config idx.json]
+
+    spark-submit ... submit_index.py \
+        query --root <dir> --queries <parquet/table> --output <parquet> \
+              --k 10 [--spill-eps 0.1]
+
+    spark-submit ... submit_index.py \
+        serve --root <dir> --input <stream dir> --output <sink dir> \
+              --checkpoint <ck dir> --k 10 [--spill-eps 0.1] [--continuous]
+
+The three subcommands are annoy's lifecycle verbs (build+save / load+query
+/ load+serve, /root/reference/src/annoylib.h:1037-1236, README.rst:25-27)
+as cluster jobs: `build` trains the router and persists model + bucket
+artifacts; `query` answers one batch of vectors from the stored index;
+`serve` keeps answering vector files as they land (Structured Streaming;
+--continuous leaves the query running instead of draining availableNow).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _read(spark, src: str):
+    if src.endswith(".parquet") or "/" in src:
+        return spark.read.parquet(src)
+    return spark.read.table(src)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--items", required=True)
+    b.add_argument("--root", required=True)
+    b.add_argument("--kind", default="forest")
+    b.add_argument("--metric", default="angular")
+    b.add_argument("--config", default=None,
+                   help="AnnIndexConfig JSON file (overrides kind/metric)")
+
+    q = sub.add_parser("query")
+    q.add_argument("--root", required=True)
+    q.add_argument("--queries", required=True)
+    q.add_argument("--output", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--spill-eps", type=float, default=0.0)
+
+    s = sub.add_parser("serve")
+    s.add_argument("--root", required=True)
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--spill-eps", type=float, default=0.0)
+    s.add_argument("--continuous", action="store_true",
+                   help="keep serving (default: drain availableNow + exit)")
+    s.add_argument("--timeout-s", type=int, default=0,
+                   help="with --continuous: stop after this many seconds")
+    args = p.parse_args(argv)
+
+    from annoy_spark.session import get_spark
+    from annoy_spark.sources.ann_index import (
+        AnnIndexConfig,
+        build_index,
+        load_index,
+    )
+
+    spark = get_spark(f"annoy_spark_index_{args.cmd}")
+    t0 = time.time()
+
+    if args.cmd == "build":
+        if args.config:
+            with open(args.config) as fh:
+                cfg = AnnIndexConfig.from_json(fh.read())
+        else:
+            cfg = AnnIndexConfig(kind=args.kind, metric=args.metric)
+        idx = build_index(spark, _read(spark, args.items), args.root, cfg)
+        print(json.dumps({
+            "built": args.root,
+            "config_hash": idx.cfg.config_hash(),
+            "dim": idx.cfg.dim,
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.cmd == "query":
+        idx = load_index(spark, args.root)
+        res = idx.query(
+            _read(spark, args.queries), k=args.k, spill_eps=args.spill_eps
+        )
+        res.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "rows": spark.read.parquet(args.output).count(),
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    # serve
+    from annoy_spark.streaming.ann_query_stream import ann_query_stream
+
+    query = ann_query_stream(
+        spark, args.root, args.input, args.output, args.checkpoint,
+        k=args.k, spill_eps=args.spill_eps,
+        available_now=not args.continuous,
+    )
+    if args.continuous and args.timeout_s:
+        query.awaitTermination(args.timeout_s)
+        query.stop()
+    else:
+        query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -195,6 +195,58 @@ def test_ann_query_stream_matches_batch(spark, corpus, queries, tmp_path):
     ]
 
 
+def test_index_build_partitioning_invariant(spark, corpus, queries, tmp_path):
+    """Trainer-sample membership is a seeded-hash top-k, so the SAME model
+    (hence bit-identical query results) must come out of any physical
+    layout of the items relation — the set_seed determinism contract
+    (annoylib.h:1256-1262) extended to distributed input."""
+    cfg = AnnIndexConfig(kind="forest", metric="angular", n_trees=4,
+                         seed=42, max_sample=100)
+    a = build_index(
+        spark, corpus, str(tmp_path / "a"), cfg
+    ).query(queries, k=5).collect()
+    b = build_index(
+        spark, corpus.repartition(13), str(tmp_path / "b"), cfg
+    ).query(queries, k=5).collect()
+    key = lambda r: (r.qid, r.rank)  # noqa: E731
+    assert sorted(
+        [(r.qid, r.nid, r.rank, r.distance) for r in a], key=lambda t: t[:2]
+    ) == sorted(
+        [(r.qid, r.nid, r.rank, r.distance) for r in b], key=lambda t: t[:2]
+    )
+    assert len(a) > 0
+
+
+def test_submit_index_cli(spark, corpus, queries, tmp_path):
+    """The spark-submit lifecycle verbs: build -> query -> serve."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.submit_index import main
+
+    items = str(tmp_path / "items.parquet")
+    qsrc = str(tmp_path / "queries.parquet")
+    corpus.write.parquet(items)
+    queries.write.parquet(qsrc)
+    root = str(tmp_path / "idx")
+    out = str(tmp_path / "out.parquet")
+
+    assert main(["build", "--items", items, "--root", root,
+                 "--kind", "forest"]) == 0
+    assert main(["query", "--root", root, "--queries", qsrc,
+                 "--output", out, "--k", "5"]) == 0
+    res = spark.read.parquet(out)
+    assert res.count() == queries.count() * 5
+    assert set(res.columns) == {"qid", "nid", "rank", "distance"}
+
+    sdir, sout, sck = (str(tmp_path / d) for d in ("sin", "sout", "sck"))
+    queries.select(
+        (F.col("vec_id") + 1).alias("vec_id"), "embedding"
+    ).write.parquet(sdir)
+    assert main(["serve", "--root", root, "--input", sdir,
+                 "--output", sout, "--checkpoint", sck, "--k", "5"]) == 0
+    assert spark.read.parquet(sout).count() == queries.count() * 5
+
+
 def test_hamming_by_vector_exact_on_identical(spark):
     """hamming by-vector: querying with a stored signature's twin finds it
     at distance 0 (packed int64 words, annoylib.h:707-796)."""
