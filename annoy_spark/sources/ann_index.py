@@ -261,7 +261,13 @@ class AnnModel:
 
 
 def _infer_dim(items: DataFrame, vec_col: str) -> int:
-    return len(items.select(vec_col).first()[0])
+    row = items.select(vec_col).first()
+    if row is None or row[0] is None or len(row[0]) == 0:
+        raise ValueError(
+            "cannot build an ANN index from an empty items relation / "
+            "empty vectors (annoy requires >= 1 added item before build)"
+        )
+    return len(row[0])
 
 
 def _bucket_artifacts(

@@ -195,6 +195,19 @@ def test_ann_query_stream_matches_batch(spark, corpus, queries, tmp_path):
     ]
 
 
+def test_build_rejects_empty_items(spark, tmp_path):
+    """annoy requires >= 1 added item before build; an empty relation must
+    fail loudly at build, not cryptically at query time."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        build_index(
+            spark, empty, str(tmp_path / "e"),
+            AnnIndexConfig(kind="forest"),
+        )
+
+
 def test_index_build_partitioning_invariant(spark, corpus, queries, tmp_path):
     """Trainer-sample membership is a seeded-hash top-k, so the SAME model
     (hence bit-identical query results) must come out of any physical
