@@ -336,10 +336,17 @@ def _query_plan(
         model.keys_col(vec_col, query_side=True, spill_eps=spill_eps)
         .alias("keys"),
     )
-    qroutes = (
-        qbase.select("qid", F.explode("keys").alias("bucket"))
-        .join(F.broadcast(sizes), "bucket", "left")
-        .select(
+    qroutes = qbase.select("qid", F.explode("keys").alias("bucket"))
+    if sizes.isEmpty():
+        # common case: no bucket ever exceeded bucket_cap, every stored
+        # salt is 0 — skip the replication join entirely (one fewer
+        # broadcast join + Generate in every online serving query; the
+        # isEmpty probe reads one tiny parquet/checkpoint footer)
+        qroutes = qroutes.select(
+            "qid", "bucket", F.lit(0).cast("long").alias("salt")
+        )
+    else:
+        qroutes = qroutes.join(F.broadcast(sizes), "bucket", "left").select(
             "qid", "bucket",
             F.explode(
                 F.sequence(
@@ -348,7 +355,6 @@ def _query_plan(
                 )
             ).alias("salt"),
         )
-    )
     # query-derived sides are broadcast BY CONTRACT (query batches are
     # online-lookup-sized; the stored buckets/vectors relations are the
     # 10^12-row side and must only ever be streamed) — the hint pins the

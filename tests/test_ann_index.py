@@ -195,6 +195,35 @@ def test_ann_query_stream_matches_batch(spark, corpus, queries, tmp_path):
     ]
 
 
+def test_index_query_replicates_oversized_buckets(spark, tmp_path):
+    """A degenerate dump of identical vectors routes to one leaf per tree;
+    item rows hash into salt sub-buckets and queries must REPLICATE across
+    all of them (no candidate lost to the item-side salting), so every
+    top-k answer is a distance-0 twin."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    base = [float(x) for x in rng.standard_normal(8)]
+    rows = [(i, base) for i in range(300)] + [
+        (1000 + i, [float(x) for x in rng.standard_normal(8)])
+        for i in range(50)
+    ]
+    items = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cfg = AnnIndexConfig(kind="forest", n_trees=4, bucket_cap=40, seed=42)
+    idx = build_index(spark, items, str(tmp_path / "hot"), cfg)
+    assert not idx._sizes.isEmpty()  # the cap actually triggered
+    qs = spark.createDataFrame(
+        [(9_000_000, base)], "vec_id long, embedding array<double>"
+    )
+    got = idx.query(qs, k=10).collect()
+    assert len(got) == 10
+    # sqrt(2 - 2*dot) of float-rounded unit twins lands around 1e-8
+    assert all(r.distance < 1e-6 for r in got)
+
+
 def test_build_rejects_empty_items(spark, tmp_path):
     """annoy requires >= 1 added item before build; an empty relation must
     fail loudly at build, not cryptically at query time."""
