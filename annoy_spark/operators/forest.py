@@ -80,7 +80,7 @@ def _ang_dist(a: np.ndarray, b: np.ndarray) -> float:
     return 2.0
 
 
-def _two_means(x: np.ndarray, rng: np.random.Generator, angular: bool):
+def _two_means(x: np.ndarray, rng: np.random.Generator, metric: str):
     """annoylib.h:363-403: streaming weighted 2-means -> (p, q) centroids.
 
     Faithful to the reference: centroids are weighted running means that
@@ -89,7 +89,11 @@ def _two_means(x: np.ndarray, rng: np.random.Generator, angular: bool):
     p/q themselves drift inside the unit ball); on a distance tie
     (di == dj) NEITHER centroid updates (strict di<dj / dj<di branches,
     annoylib.h:392-399); zero-norm points are skipped (annoylib.h:389-391).
+    The comparison distance is the METRIC's own (Distance::distance):
+    2-2cos for angular, squared L2 for euclidean, L1 for manhattan
+    (annoylib.h:871-880 manhattan_distance).
     """
+    angular = metric == "angular"
     n = len(x)
     i = int(rng.integers(n))
     j = int(rng.integers(n - 1))
@@ -109,6 +113,9 @@ def _two_means(x: np.ndarray, rng: np.random.Generator, angular: bool):
             di = ic * _ang_dist(p, z)
             dj = jc * _ang_dist(q, z)
             z = z / nz  # update_mean folds the unit-scaled point
+        elif metric == "manhattan":
+            di = ic * float(np.abs(p - z).sum())
+            dj = jc * float(np.abs(q - z).sum())
         else:
             di = ic * float(((p - z) ** 2).sum())
             dj = jc * float(((q - z) ** 2).sum())
@@ -124,12 +131,14 @@ def _two_means(x: np.ndarray, rng: np.random.Generator, angular: bool):
 def _split_plane(x, rng, metric: str):
     """create_split (annoylib.h:503-510, 849-891) -> (normal, offset).
 
-    Both metrics normalize the split normal (Base::normalize is called in
-    Angular AND Euclidean/Manhattan create_split, annoylib.h:510, 856-857);
-    the euclidean offset is computed with the NORMALIZED normal
-    (annoylib.h:858-860)."""
+    All float metrics normalize the split normal (Base::normalize is
+    called in Angular AND Euclidean/Manhattan create_split,
+    annoylib.h:510, 856-857); the euclidean/manhattan offset is computed
+    with the NORMALIZED normal (annoylib.h:858-860 — Manhattan inherits
+    Minkowski's create_split, only two_means' comparison distance
+    differs)."""
     angular = metric == "angular"
-    p, q = _two_means(x, rng, angular)
+    p, q = _two_means(x, rng, metric)
     normal = p - q
     nn = np.linalg.norm(normal)
     if nn < 1e-30:
@@ -207,6 +216,125 @@ def build_tree(
     )
 
 
+@dataclass(frozen=True)
+class HammingTree:
+    """Axis-aligned bit-split tree over packed int64 signatures — annoy's
+    Hamming create_split (annoylib.h:758-792): each node splits on ONE bit
+    position; side = that bit's value (margin, annoylib.h:744-752,
+    MSB-first within each word)."""
+
+    bits: np.ndarray      # (n_nodes,) int64 split-bit position, -1 = leaf
+    children: np.ndarray  # (n_nodes, 2) int64; bit set -> children[:, 1]
+
+
+_HAMMING_SPLIT_TRIES = 20  # annoylib.h:714 (max_iterations)
+
+
+def _bit_side(words: np.ndarray, pos: int) -> np.ndarray:
+    """bool mask: is bit `pos` set (MSB-first per 64-bit word —
+    annoylib.h:744-752 margin)."""
+    chunk, off = pos // 64, 63 - (pos % 64)
+    return (words[:, chunk].view(np.uint64) >> np.uint64(off)) & np.uint64(
+        1
+    ) == 1
+
+
+def build_hamming_tree(
+    sample: np.ndarray,
+    seed: int,
+    leaf_cap: int,
+    max_depth: int = 40,
+) -> HammingTree:
+    """One hamming tree over a bounded sample of packed int64 signatures:
+    create_split tries up to 20 RANDOM bit positions for a non-trivial
+    split, then brute-force scans all bits (annoylib.h:759-792); a node
+    whose items are identical becomes a leaf (the downstream bucket salt
+    enforces the hard cost cap, as for the float trees)."""
+    rng = np.random.default_rng([seed, 0x4AB])
+    dim = sample.shape[1] * 64
+    bits, children = [], []
+    work = [(np.arange(len(sample)), 0, None)]
+
+    def new_node() -> int:
+        bits.append(-1)
+        children.append([-1, -1])
+        return len(children) - 1
+
+    while work:
+        idx, depth, slot = work.pop()
+        node = new_node()
+        if slot is not None:
+            parent, side = slot
+            children[parent][side] = node
+        if len(idx) <= leaf_cap or depth >= max_depth:
+            continue
+        x = sample[idx]
+        pos, right = -1, None
+        for _ in range(_HAMMING_SPLIT_TRIES):
+            cand = int(rng.integers(dim))
+            side_mask = _bit_side(x, cand)
+            if side_mask.any() and not side_mask.all():
+                pos, right = cand, side_mask
+                break
+        if right is None:
+            for cand in range(dim):  # brute-force scan (annoylib.h:778-791)
+                side_mask = _bit_side(x, cand)
+                if side_mask.any() and not side_mask.all():
+                    pos, right = cand, side_mask
+                    break
+        if right is None:
+            continue  # all signatures identical: leaf
+        bits[node] = pos
+        work.append((idx[right], depth + 1, (node, 1)))
+        work.append((idx[~right], depth + 1, (node, 0)))
+
+    return HammingTree(
+        bits=np.asarray(bits, dtype=np.int64),
+        children=np.asarray(children, dtype=np.int64),
+    )
+
+
+def hamming_forest_leaf_udf(trees: list[HammingTree]):
+    """pandas UDF: packed int64 signature -> one leaf key per tree.
+
+    Level-synchronous vectorized bit tests (margin, annoylib.h:744-752).
+    No spill analog: a hamming margin is a bit, not a distance to a
+    plane — query-time widening comes from n_trees (and the LSH kind's
+    multi-table bit sampling covers the search_k-style budget knob)."""
+    packed = [(t.bits, t.children, ti) for ti, t in enumerate(trees)]
+    stride = 1 + max(len(t.children) for t in trees)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def leaves(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in vecs])
+        umat = mat.view(np.uint64)
+        n = len(mat)
+        out = np.empty((n, len(packed)), dtype=np.int64)
+        for bits, children, ti in packed:
+            rows = np.arange(n)
+            cur = np.zeros(n, dtype=np.int64)
+            done = np.zeros(n, dtype=np.int64)
+            while len(rows):
+                is_leaf = bits[cur] < 0
+                if is_leaf.any():
+                    done[rows[is_leaf]] = cur[is_leaf]
+                rows, cur = rows[~is_leaf], cur[~is_leaf]
+                if not len(rows):
+                    break
+                pos = bits[cur]
+                chunk, off = pos // 64, (63 - (pos % 64)).astype(np.uint64)
+                side = (
+                    (umat[rows, chunk] >> off) & np.uint64(1)
+                ).astype(np.int64)
+                cur = children[cur, side]
+            out[:, ti] = ti * stride + done
+        return pd.Series([r.tolist() for r in out])
+
+    return leaves
+
+
 def build_forest(
     items: DataFrame,
     n_trees: int = 8,
@@ -217,7 +345,7 @@ def build_forest(
     id_col: str = "vec_id",
     max_sample: int = 50_000,
     sample_fraction: float = 0.2,
-) -> list[Tree]:
+) -> list:
     """n_trees independent two_means trees from one bounded driver sample
     (annoy builds each tree over all items — annoylib.h:1037-1078; a
     router tree only needs a representative sample, and each tree draws
@@ -228,8 +356,14 @@ def build_forest(
     (annoylib.h:1256-1262) demands bit-identical forests per seed even
     when the corpus exceeds max_sample."""
     x = collect_training_sample(
-        items, id_col, vec_col, seed, max_sample, sample_fraction
+        items, id_col, vec_col, seed, max_sample, sample_fraction,
+        as_longs=(metric == "hamming"),
     )
+    if metric == "hamming":
+        return [
+            build_hamming_tree(x, seed=seed * 10_007 + t, leaf_cap=leaf_cap)
+            for t in range(n_trees)
+        ]
     if metric == "angular":
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     return [
@@ -307,8 +441,12 @@ def knn_forest(
     sample_fraction: float = 0.2,
     queries: DataFrame | None = None,
 ) -> DataFrame:
-    """All-items approximate top-k via the two_means forest:
-    (qid, nid, rank, distance). metric in ('angular', 'euclidean').
+    """All-items approximate top-k via the forest:
+    (qid, nid, rank, distance). metric in ('angular', 'euclidean',
+    'manhattan', 'hamming') — the float metrics build two_means trees,
+    hamming builds axis-aligned bit-split trees (annoylib.h:758-792) over
+    packed int64 signatures (spill_eps has no hamming analog and is
+    ignored there).
 
     Same output contract as knn_lsh/knn_ivf; candidate generation is the
     (tree, leaf) equi-join — shuffle-friendly, reducer-bounded by
@@ -321,8 +459,11 @@ def knn_forest(
     joined against the item leaf assignments. For the build-once /
     save / load / query-forever lifecycle use
     annoy_spark.sources.ann_index.build_index / load_index."""
-    if metric not in ("angular", "euclidean"):
-        raise ValueError(f"knn_forest supports angular/euclidean, got {metric}")
+    if metric not in ("angular", "euclidean", "manhattan", "hamming"):
+        raise ValueError(
+            "knn_forest supports angular/euclidean/manhattan/hamming, "
+            f"got {metric}"
+        )
     if queries is not None:
         from annoy_spark.sources.ann_index import (
             AnnIndexConfig,
@@ -342,14 +483,22 @@ def knn_forest(
         vec_col=vec_col, id_col=id_col, max_sample=max_sample,
         sample_fraction=sample_fraction,
     )
-    leaves = forest_leaf_udf(trees, spill_eps=spill_eps)
-    if metric == "angular":
+    if metric == "hamming":
+        leaves = hamming_forest_leaf_udf(trees)
+        raw = F.col(vec_col).cast("array<long>")
+        base = items.select(
+            F.col(id_col).alias("id"), raw.alias("v"),
+            leaves(raw).alias("keys"),
+        )
+    elif metric == "angular":
+        leaves = forest_leaf_udf(trees, spill_eps=spill_eps)
         base = with_unit_vectors(items, vec_col).select(
             F.col(id_col).alias("id"),
             F.col("unit_vec").alias("v"),
             leaves(F.col("unit_vec")).alias("keys"),
         )
     else:
+        leaves = forest_leaf_udf(trees, spill_eps=spill_eps)
         raw = F.col(vec_col).cast("array<double>")
         base = items.select(
             F.col(id_col).alias("id"), raw.alias("v"),
@@ -371,7 +520,22 @@ def knn_forest(
     )
     if metric == "angular":
         d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
-    else:
+    elif metric == "euclidean":
         diff = F.zip_with("qv", "nv", lambda x, y: x - y)
         d = F.sqrt(F.greatest(F.lit(0.0), _norm2(diff)))
+    elif metric == "manhattan":
+        d = F.aggregate(
+            F.zip_with("qv", "nv", lambda x, y: F.abs(x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    else:  # hamming popcount (annoylib.h:736-743), JVM-side
+        d = F.aggregate(
+            F.zip_with(
+                "qv", "nv",
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
     return _topk(cand, d, k)

@@ -53,6 +53,7 @@ def collect_training_sample(
     seed: int,
     max_sample: int,
     sample_fraction: float = 1.0,
+    as_longs: bool = False,
 ) -> np.ndarray:
     """Bounded DETERMINISTIC driver-side sample, sorted by id: membership =
     the max_sample rows with the smallest seeded xxhash64(id) (a uniform
@@ -66,9 +67,12 @@ def collect_training_sample(
     index, so the same membership in a different order would still train a
     different model."""
     h = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    # as_longs keeps packed hamming words exact (int64 -> double would
+    # round away bits above 2^53)
+    sql_t = "array<long>" if as_longs else "array<double>"
     cand = items.select(
         F.col(id_col).alias("i"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(vec_col).cast(sql_t).alias("v"),
         h.alias("h"),
     )
     if sample_fraction < 1.0:
@@ -78,7 +82,9 @@ def collect_training_sample(
         )
     rows = cand.orderBy("h", "i").limit(max_sample).collect()
     rows.sort(key=lambda r: r.i)
-    return np.asarray([r.v for r in rows], dtype=np.float64)
+    return np.asarray(
+        [r.v for r in rows], dtype=np.int64 if as_longs else np.float64
+    )
 
 
 def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -72,6 +72,29 @@ class CheckpointStore:
             )
         )
 
+    def append(self, stage: str, df: DataFrame, **extra) -> None:
+        """Append rows to an existing stage (incremental index growth —
+        annoy's unbuild -> add_item -> build reopening). The stage meta is
+        re-stamped with the SAME config hash: appends never change
+        semantics, only extent. On Iceberg this is `df.writeTo(tbl).
+        append()` (one new snapshot); the parquet degradation appends
+        files to the stage directory."""
+        self.validate_or_raise(stage)
+        d = self._dir(stage)
+        df.write.mode("append").parquet(str(d))
+        (d / _META).write_text(
+            json.dumps(
+                {
+                    "stage": stage,
+                    "config_hash": self.cfg.config_hash(),
+                    "config": json.loads(self.cfg.to_json()),
+                    "written_at": time.time(),
+                    **extra,
+                },
+                sort_keys=True,
+            )
+        )
+
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         self.validate_or_raise(stage)
         if not self.exists(stage):

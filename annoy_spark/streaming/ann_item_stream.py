@@ -1,0 +1,80 @@
+"""Streaming ITEM ingest into a persisted ANN index — the item-side twin
+of ann_query_stream.
+
+Annoy reopens a built index for more items via unbuild -> add_item ->
+build (/root/reference/src/annoylib.h:1080-1091; test/index_test.py:234-245
+pins the allowed transitions). The daily-growing-corpus shape of that
+lifecycle is a stream: new item vectors land as files (in production:
+Kafka/Iceberg ingestion) and each micro-batch is APPENDED to the stored
+index — routed with the FROZEN stored router (same trees/centroids/planes,
+the set_seed contract keeps old answers stable), appended to the
+vectors/buckets artifacts, with only the per-bucket count DELTA written
+(see sources/ann_index.py module doc for the format-2 layout).
+
+Restart safety: Structured Streaming's checkpoint makes the SOURCE
+exactly-once, but foreachBatch can re-run the last batch after a crash.
+Appends are not idempotent (they add rows), so a per-checkpoint ledger
+file under the index root records the last applied batch id and replays
+are skipped. If a crash lands between the artifact append and the ledger
+write, the replay fails LOUDLY on the stored-id collision check
+(check_ids) instead of silently double-inserting — on Iceberg the
+artifact appends and the ledger update collapse into one transactional
+snapshot commit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from annoy_spark.sources.ann_index import AnnIndex, load_index
+
+ITEM_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def ann_item_stream(
+    spark: SparkSession,
+    index_root: str,
+    input_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    item_schema: str = ITEM_SCHEMA,
+    available_now: bool = True,
+    check_ids: bool = True,
+) -> StreamingQuery:
+    """Append every item vector landing under input_dir to the index
+    persisted at index_root (for hamming indexes pass an array<long>
+    item_schema)."""
+    idx: AnnIndex = load_index(spark, index_root)
+    ledger = Path(index_root) / "_ITEM_STREAM_BATCHES.json"
+    ck_key = hashlib.sha256(str(checkpoint_dir).encode()).hexdigest()[:16]
+
+    def _applied() -> int:
+        if ledger.exists():
+            return int(json.loads(ledger.read_text()).get(ck_key, -1))
+        return -1
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _applied():
+            return  # replayed batch whose append already committed
+        if batch.isEmpty():
+            return
+        idx.append(batch, id_col=id_col, vec_col=vec_col,
+                   check_ids=check_ids)
+        data = json.loads(ledger.read_text()) if ledger.exists() else {}
+        data[ck_key] = batch_id
+        ledger.write_text(json.dumps(data, sort_keys=True))
+
+    stream = spark.readStream.schema(item_schema).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

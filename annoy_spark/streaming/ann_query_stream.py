@@ -56,8 +56,12 @@ def ann_query_stream(
     def answer_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # micro-batches are online-lookup-sized by construction: pin the
+        # broadcast serving plan instead of paying a size-probe job per
+        # batch (batch query() probes when the caller doesn't say)
         result = idx.query(
-            batch, k=k, id_col=id_col, vec_col=vec_col, spill_eps=spill_eps
+            batch, k=k, id_col=id_col, vec_col=vec_col,
+            spill_eps=spill_eps, small_queries=True,
         )
         result.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"

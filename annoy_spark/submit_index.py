@@ -5,6 +5,9 @@
               [--kind forest|ivf|lsh] [--metric angular|...] [--config idx.json]
 
     spark-submit ... submit_index.py \
+        append --items <parquet/table> --root <dir> [--no-check-ids]
+
+    spark-submit ... submit_index.py \
         query --root <dir> --queries <parquet/table> --output <parquet> \
               --k 10 [--spill-eps 0.1]
 
@@ -28,10 +31,28 @@ import sys
 import time
 
 
-def _read(spark, src: str):
+def _read(spark, src: str, fmt: str = "auto"):
+    """--format parquet|table|auto: auto tries the catalog first for a
+    bare name and falls back to a parquet path with a clear error if
+    neither resolves (a relative directory like 'items' used to fall
+    through to read.table and die with a confusing missing-table error)."""
+    if fmt == "parquet":
+        return spark.read.parquet(src)
+    if fmt == "table":
+        return spark.read.table(src)
     if src.endswith(".parquet") or "/" in src:
         return spark.read.parquet(src)
-    return spark.read.table(src)
+    try:
+        return spark.read.table(src)
+    except Exception as table_err:
+        try:
+            return spark.read.parquet(src)
+        except Exception:
+            raise ValueError(
+                f"--format auto could not resolve {src!r} as a catalog "
+                "table or a parquet path; pass --format parquet or "
+                "--format table"
+            ) from table_err
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -45,6 +66,17 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--metric", default="angular")
     b.add_argument("--config", default=None,
                    help="AnnIndexConfig JSON file (overrides kind/metric)")
+    b.add_argument("--format", default="auto",
+                   choices=("auto", "parquet", "table"),
+                   help="how to read --items (default: auto-detect)")
+
+    a = sub.add_parser("append")
+    a.add_argument("--items", required=True)
+    a.add_argument("--root", required=True)
+    a.add_argument("--format", default="auto",
+                   choices=("auto", "parquet", "table"))
+    a.add_argument("--no-check-ids", action="store_true",
+                   help="skip the stored-id collision anti-join")
 
     q = sub.add_parser("query")
     q.add_argument("--root", required=True)
@@ -69,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
     from annoy_spark.session import get_spark
     from annoy_spark.sources.ann_index import (
         AnnIndexConfig,
+        append_index,
         build_index,
         load_index,
     )
@@ -82,11 +115,26 @@ def main(argv: list[str] | None = None) -> int:
                 cfg = AnnIndexConfig.from_json(fh.read())
         else:
             cfg = AnnIndexConfig(kind=args.kind, metric=args.metric)
-        idx = build_index(spark, _read(spark, args.items), args.root, cfg)
+        idx = build_index(
+            spark, _read(spark, args.items, args.format), args.root, cfg
+        )
         print(json.dumps({
             "built": args.root,
             "config_hash": idx.cfg.config_hash(),
             "dim": idx.cfg.dim,
+            "n_items": idx.n_items(),
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.cmd == "append":
+        idx = append_index(
+            spark, args.root, _read(spark, args.items, args.format),
+            check_ids=not args.no_check_ids,
+        )
+        print(json.dumps({
+            "appended": args.root,
+            "n_items": idx.n_items(),
             "wall_sec": round(time.time() - t0, 2),
         }))
         return 0
