@@ -461,6 +461,132 @@ def _knn_ivf_by_vector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_stats(emb, exact, approx, 10, IVF_BV_MIN_RECALL_PCT)
 
 
+def _ann_index_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-append lifecycle gate (annoy's unbuild -> add_item ->
+    build reopening, annoylib.h:1080-1091; allowed transitions pinned by
+    test/index_test.py:234-245): build the index on HALF the corpus,
+    APPEND the other half with the frozen stored router (new items routed
+    with the same trees, bucket/vector artifacts appended, count deltas
+    merged), reload, and gate by-vector recall@k against the exact top-k
+    over the FULL corpus — an append must leave the index as good as a
+    fresh build at the same config."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.knn import knn_bruteforce
+    from annoy_spark.sources.ann_index import (
+        AnnIndexConfig,
+        append_index,
+        build_index,
+        load_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = _by_vector_queries(emb)
+    cfg = AnnIndexConfig(
+        kind="forest", metric="angular", n_trees=32, leaf_cap=32, seed=42,
+        sample_fraction=1.0,
+    )
+    root = tempfile.mkdtemp(prefix="annoy_spark_append_idx_")
+    build_index(spark, emb.where(F.col("vec_id") % 2 == 0), root, cfg)
+    append_index(spark, root, emb.where(F.col("vec_id") % 2 == 1))
+    idx = load_index(spark, root, expected=cfg)
+    approx = idx.query(qs, k=10, spill_eps=0.05).select("qid", "nid")
+    exact = knn_bruteforce(emb, qs, k=10).select("qid", "nid")
+    return _recall_stats(emb, exact, approx, 10, FOREST_BV_MIN_RECALL_PCT)
+
+
+def _knn_forest_manhattan_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manhattan two_means-forest gate (Manhattan inherits Minkowski's
+    create_split — offset planes, annoylib.h:849-891 — with L1
+    comparisons inside two_means, annoylib.h:871-880): recall@k of the
+    all-items forest vs the exact L1 top-k."""
+    from annoy_spark.operators.forest import knn_forest
+    from annoy_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # spill_eps=0: 32 trees alone measure 0.981 on the gate corpus; L1
+    # margins here are small relative to coordinate scale, so even a
+    # 0.3 spill descends both children at most depths and blows the
+    # candidate set up ~50x for +0.01 recall
+    approx = knn_forest(
+        emb, k=10, n_trees=32, leaf_cap=32, seed=42, metric="manhattan",
+        sample_fraction=1.0, spill_eps=0.0,
+    ).select("qid", "nid")
+    exact = knn_bruteforce(emb, emb, k=10, metric="manhattan").select(
+        "qid", "nid"
+    )
+    return _recall_stats(emb, exact, approx, 10, FOREST_MIN_RECALL_PCT)
+
+
+def _knn_forest_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming bit-split forest gate (annoy's axis-aligned Hamming
+    create_split, annoylib.h:758-792: 20 random bit tries then a
+    brute-force scan; side = the bit's value, annoylib.h:744-752):
+    recall@k vs the exact popcount top-k over the derived corpus'
+    simhash signatures."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.forest import knn_forest
+    from annoy_spark.operators.knn import knn_bruteforce
+
+    _register(spark, sf_dir)
+    sim = spark.sql(G.simhash_signatures_sql_spark()).select(
+        "doc_id", F.array("sig").alias("sig")
+    )
+    approx = knn_forest(
+        sim, k=10, n_trees=32, leaf_cap=16, seed=42, metric="hamming",
+        id_col="doc_id", vec_col="sig", sample_fraction=1.0,
+    ).select("qid", "nid")
+    exact = knn_bruteforce(
+        sim, sim, k=10, metric="hamming", id_col="doc_id", vec_col="sig"
+    ).select("qid", "nid")
+    return _recall_stats(sim, exact, approx, 10, HAMMING_LSH_MIN_RECALL_PCT)
+
+
+def _knn_ivf_manhattan_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the k-medians coarse quantizer (assignment by L1, update
+    = coordinate-wise median — the L1 minimizer): recall@k vs the exact
+    L1 top-k on unstructured vectors (IVF's worst case, same threshold
+    as the angular IVF gate)."""
+    from annoy_spark.operators.ivf import knn_ivf
+    from annoy_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    approx = knn_ivf(
+        emb, k=10, n_centroids=32, nprobe=16, seed=42, metric="manhattan",
+        sample_fraction=1.0,
+    ).select("qid", "nid")
+    exact = knn_bruteforce(emb, emb, k=10, metric="manhattan").select(
+        "qid", "nid"
+    )
+    return _recall_stats(emb, exact, approx, 10, IVF_MIN_RECALL_PCT)
+
+
+def _knn_ivf_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the binary k-majority quantizer (assignment by popcount,
+    update = per-bit majority vote): recall@k vs the exact popcount
+    top-k over the derived simhash signatures."""
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.ivf import knn_ivf
+    from annoy_spark.operators.knn import knn_bruteforce
+
+    _register(spark, sf_dir)
+    sim = spark.sql(G.simhash_signatures_sql_spark()).select(
+        "doc_id", F.array("sig").alias("sig")
+    )
+    approx = knn_ivf(
+        sim, k=10, n_centroids=16, nprobe=8, seed=42, metric="hamming",
+        id_col="doc_id", vec_col="sig", sample_fraction=1.0,
+    ).select("qid", "nid")
+    exact = knn_bruteforce(
+        sim, sim, k=10, metric="hamming", id_col="doc_id", vec_col="sig"
+    ).select("qid", "nid")
+    return _recall_stats(sim, exact, approx, 10, IVF_MIN_RECALL_PCT)
+
+
 def _knn_lsh_by_vector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """By-vector mode of the hyperplane-LSH operator (the queries= path):
     query vectors are signed with the SAME planes and joined against the
@@ -774,6 +900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_hamming_lsh_recall"] = _knn_hamming_lsh_recall
     out["knn_forest_by_vector_recall"] = _knn_forest_by_vector_recall
     out["knn_ivf_by_vector_recall"] = _knn_ivf_by_vector_recall
+    out["ann_index_append_recall"] = _ann_index_append_recall
+    out["knn_forest_manhattan_recall"] = _knn_forest_manhattan_recall
+    out["knn_forest_hamming_recall"] = _knn_forest_hamming_recall
+    out["knn_ivf_manhattan_recall"] = _knn_ivf_manhattan_recall
+    out["knn_ivf_hamming_recall"] = _knn_ivf_hamming_recall
     out["knn_lsh_by_vector_recall"] = _knn_lsh_by_vector_recall
     out["ann_query_stream_recall"] = _ann_query_stream_recall
     out["embedding_near_dup_recall"] = _embedding_near_dup_recall
@@ -808,6 +939,21 @@ def oracle_sql() -> dict[str, str]:
     )
     out["knn_ivf_by_vector_recall"] = G.q_knn_lsh_recall_duck(
         IVF_BV_MIN_RECALL_PCT
+    )
+    out["ann_index_append_recall"] = G.q_knn_lsh_recall_duck(
+        FOREST_BV_MIN_RECALL_PCT
+    )
+    out["knn_forest_manhattan_recall"] = G.q_knn_lsh_recall_duck(
+        FOREST_MIN_RECALL_PCT
+    )
+    out["knn_forest_hamming_recall"] = G.q_knn_hamming_lsh_recall_duck(
+        HAMMING_LSH_MIN_RECALL_PCT
+    )
+    out["knn_ivf_manhattan_recall"] = G.q_knn_lsh_recall_duck(
+        IVF_MIN_RECALL_PCT
+    )
+    out["knn_ivf_hamming_recall"] = G.q_knn_hamming_lsh_recall_duck(
+        IVF_MIN_RECALL_PCT
     )
     out["knn_lsh_by_vector_recall"] = G.q_knn_lsh_recall_duck(
         LSH_MIN_RECALL_PCT

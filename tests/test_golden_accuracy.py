@@ -36,6 +36,10 @@ GOLDEN = {
     "pstable_euclid_16x4": 0.9996,
     "pstable_manhattan_16x4_w64": 0.9890,
     "hamming_lsh_32x4": 0.9997,
+    "forest_manhattan_32t": 0.9810,
+    "forest_hamming_32t": 0.9101,
+    "ivf_manhattan_32c16p": 0.8164,
+    "ivf_hamming_16c8p": 0.8154,
 }
 
 
@@ -124,18 +128,60 @@ def test_golden_pstable_manhattan(emb):
     _check("pstable_manhattan_16x4_w64", _recall(ex, ap))
 
 
-def test_golden_hamming_lsh(spark):
+@pytest.fixture(scope="module")
+def sim(spark):
     spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
-    sim = spark.sql(G.simhash_signatures_sql_spark()).select(
+    return spark.sql(G.simhash_signatures_sql_spark()).select(
         "doc_id", F.array("sig").alias("sig")
     ).cache()
-    ex = knn_bruteforce(
+
+
+@pytest.fixture(scope="module")
+def exact_hamming(sim):
+    return knn_bruteforce(
         sim, sim, k=K, metric="hamming", id_col="doc_id", vec_col="sig"
     ).collect()
+
+
+def test_golden_hamming_lsh(sim, exact_hamming):
     ap = knn_lsh(
         sim, k=K, n_tables=32, n_bits=4, seed=42, metric="hamming",
         id_col="doc_id", vec_col="sig",
     ).collect()
-    _check("hamming_lsh_32x4", _recall(ex, ap))
+    _check("hamming_lsh_32x4", _recall(exact_hamming, ap))
+
+
+def test_golden_forest_manhattan(emb):
+    ex = knn_bruteforce(emb, emb, k=K, metric="manhattan").collect()
+    ap = knn_forest(
+        emb, k=K, n_trees=32, leaf_cap=32, seed=42, metric="manhattan",
+        sample_fraction=1.0,
+    ).collect()
+    _check("forest_manhattan_32t", _recall(ex, ap))
+
+
+def test_golden_ivf_manhattan(emb):
+    ex = knn_bruteforce(emb, emb, k=K, metric="manhattan").collect()
+    ap = knn_ivf(
+        emb, k=K, n_centroids=32, nprobe=16, seed=42, metric="manhattan",
+        sample_fraction=1.0,
+    ).collect()
+    _check("ivf_manhattan_32c16p", _recall(ex, ap))
+
+
+def test_golden_forest_hamming(sim, exact_hamming):
+    ap = knn_forest(
+        sim, k=K, n_trees=32, leaf_cap=16, seed=42, metric="hamming",
+        id_col="doc_id", vec_col="sig", sample_fraction=1.0,
+    ).collect()
+    _check("forest_hamming_32t", _recall(exact_hamming, ap))
+
+
+def test_golden_ivf_hamming(sim, exact_hamming):
+    ap = knn_ivf(
+        sim, k=K, n_centroids=16, nprobe=8, seed=42, metric="hamming",
+        id_col="doc_id", vec_col="sig", sample_fraction=1.0,
+    ).collect()
+    _check("ivf_hamming_16c8p", _recall(exact_hamming, ap))
