@@ -358,16 +358,18 @@ def substring_edges(
         )
         .select(
             "*",
-            F.min("file_id").over(w).alias("gmin"),
+            # ONE window pass: min over (file_id, poss) structs orders by
+            # file_id first (unique within a group), so the struct min IS
+            # (gmin, gmin's position list) — the old two-pass form (min
+            # then max(when(file_id == gmin))) cost a second sort+window
+            # over the largest intermediate of the stage
+            F.min(F.struct("file_id", "poss")).over(w).alias("gm"),
             F.count(F.lit(1)).over(w).alias("gsize"),
         )
         .select(
-            "*",
-            # exactly one row per (file, fp): max(when(...)) picks the
-            # gmin row's position list deterministically
-            F.max(
-                F.when(F.col("file_id") == F.col("gmin"), F.col("poss"))
-            ).over(w).alias("gmin_poss"),
+            "file_id", "fp", "poss", "gsize",
+            F.col("gm.file_id").alias("gmin"),
+            F.col("gm.poss").alias("gmin_poss"),
         )
         .persist()
     )
@@ -408,13 +410,14 @@ def substring_edges(
         F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_buckets)).alias("salt"),
     )
     ws = Window.partitionBy("fp", "salt")
+    # same single-pass struct-min trick as the fps window above
     sub = huge.select(
-        "*", F.min("file_id").over(ws).alias("smin")
+        "*", F.min(F.struct("file_id", "poss")).over(ws).alias("sm")
     ).select(
-        "*",
-        F.max(
-            F.when(F.col("file_id") == F.col("smin"), F.col("poss"))
-        ).over(ws).alias("smin_poss"),
+        F.col("fp"), F.col("file_id"), F.col("poss"), F.col("gmin"),
+        F.col("gmin_poss"), F.col("salt"),
+        F.col("sm.file_id").alias("smin"),
+        F.col("sm.poss").alias("smin_poss"),
     )
     salted_pairs = (
         sub.where(F.col("file_id") != F.col("smin"))

@@ -4,7 +4,13 @@ Sandbox proxy: the identical dedup pipeline over the identical pre-generated
 corpus at local[8] (N) and local[32] (4N). Each level runs in its own
 process (one JVM cannot change local master). Writes BENCH/BASELINE.md.
 
-Usage: python tools/bench_scaling.py [n_files] [rounds]
+Usage: python tools/bench_scaling.py [n_files] [rounds] [--no-md]
+
+`rounds` is either one integer (same round count at every level) or a
+per-level spec like `2x3,4x4,8x10,16x10,32x2` (cores x rounds) — the
+steal-suspect rungs get more rounds so their MIN approaches the
+uncontended machine within one session. --no-md appends raw JSON results
+only (hand-merge into BENCH/BASELINE.md, which carries curated analysis).
 """
 
 from __future__ import annotations
@@ -67,8 +73,19 @@ LEVELS = (2, 4, 8, 16, 32)  # three N->4N ladders: 2->8, 4->16, 8->32
 
 
 def main() -> None:
-    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
-    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    args = [a for a in sys.argv[1:] if a != "--no-md"]
+    write_md = "--no-md" not in sys.argv
+    n_files = int(args[0]) if len(args) > 0 else 40_000
+    spec = args[1] if len(args) > 1 else "1"
+    if "x" in spec:
+        per_level = {
+            int(c): int(r)
+            for c, r in (part.split("x") for part in spec.split(","))
+        }
+        rounds = max(per_level.values())
+    else:
+        rounds = int(spec)
+        per_level = {c: rounds for c in LEVELS}
 
     corpus_path = f"/tmp/scaling_corpus_{n_files}"
     gen = f"""
@@ -83,15 +100,31 @@ df.write.mode("overwrite").parquet("{corpus_path}")
     subprocess.run([sys.executable, "-c", gen], check=True,
                    capture_output=True, text=True, timeout=1800)
 
-    results: dict[int, list] = {c: [] for c in LEVELS}
-    for _ in range(rounds):
+    # interleave levels round-robin so a steal spike hits levels evenly
+    results: dict[int, list] = {c: [] for c in LEVELS if per_level.get(c)}
+    for i in range(rounds):
         for cores in LEVELS:
+            if i >= per_level.get(cores, 0):
+                continue
             subprocess.run(["sync"], check=False)
             r = run_level(cores, corpus_path, str(cores))
             results[cores].append(r)
-            print(json.dumps(r))
+            print(json.dumps(r), flush=True)
 
     best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in results.items()}
+    if not write_md or set(best) != set(LEVELS):
+        for c in sorted(best):
+            print(json.dumps({"cores": c, "min_sec": best[c]["sec"],
+                              "rounds": len(results[c])}))
+        for n, m in (("2->8", (2, 8)), ("4->16", (4, 16)),
+                     ("8->32", (8, 32))):
+            if m[0] in best and m[1] in best:
+                print(json.dumps({
+                    "ladder": n,
+                    "efficiency": round(
+                        best[m[0]]["sec"] / (4 * best[m[1]]["sec"]), 3),
+                }))
+        return
     eff_2_8 = best[2]["sec"] / (4 * best[8]["sec"])
     eff_4_16 = best[4]["sec"] / (4 * best[16]["sec"])
     eff_8_32 = best[8]["sec"] / (4 * best[32]["sec"])

@@ -109,7 +109,18 @@ def main() -> None:
         "ANN INDEX QUERY (stored bucket/vector parquet scans, broadcast "
         "query routing + salt replication, narrow (qid,nid) dedup, "
         "re-attach vectors, exact re-rank)"
-    ] = plan_of(idx.query(queries, k=3, spill_eps=0.1))
+    ] = plan_of(idx.query(queries, k=3, spill_eps=0.1,
+                          small_queries=True))
+
+    # the guarded fallback: the SAME query above a large batch — the
+    # query-derived sides lose their broadcast hints and the joins
+    # degrade to shuffle equi-joins instead of a broadcast OOM
+    sections[
+        "ANN INDEX QUERY — LARGE-BATCH FALLBACK (small_queries=False: "
+        "no query-side broadcast hints; shuffle equi-joins; AQE decides "
+        "the candidate join from measured size)"
+    ] = plan_of(idx.query(queries, k=3, spill_eps=0.1,
+                          small_queries=False))
 
     out = ["# PLANS — physical plan evidence (auto-generated)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
