@@ -548,9 +548,18 @@ class AnnIndex:
             self._n_items = self._vectors.count()
         return self._n_items
 
+    def n_trees(self) -> int:
+        """get_n_trees analog (annoylib.h:1250-1254): routing structures
+        in the stored model — trees for the forest kind, centroids for
+        IVF, hash tables for LSH."""
+        cfg = self.cfg
+        if cfg.kind == "forest":
+            return cfg.n_trees
+        return cfg.n_centroids if cfg.kind == "ivf" else cfg.n_tables
+
     def n_buckets(self) -> int:
         """Number of distinct router buckets holding >= 1 item (the
-        get_n_trees-adjacent shape number for a bucketed index)."""
+        data-dependent shape number for a bucketed index)."""
         return self._bucketed.select("bucket").distinct().count()
 
     def get_item_vector(self, nid) -> list:
@@ -581,6 +590,46 @@ class AnnIndex:
             k, id_col, vec_col, spill_eps, self._has_oversized,
             small_queries,
         )
+
+    def query_by_items(
+        self,
+        item_ids: DataFrame,
+        k: int,
+        id_col: str = "vec_id",
+        spill_eps: float = 0.0,
+        include_self: bool = False,
+        small_queries: bool | None = None,
+    ) -> DataFrame:
+        """get_nns_by_item over the stored index (annoylib.h:1228-1232):
+        the query vectors are the STORED representations of the given
+        item ids (one column DataFrame). include_self=False drops each
+        item from its own neighbor list (annoy includes it; rank is
+        re-densified either way so downstream top-k contracts hold)."""
+        qs = item_ids.select(F.col(id_col).alias("qid")).join(
+            self._vectors.withColumnRenamed("nid", "qid"), "qid"
+        )
+        res = _query_plan(
+            qs, self._vectors, self._assign, self._sizes, self.model,
+            # fetch one extra so dropping self still yields k
+            k if include_self else k + 1,
+            "qid", "v", spill_eps, self._has_oversized, small_queries,
+        )
+        if include_self:
+            return res
+        w = Window.partitionBy("qid").orderBy(
+            F.col("distance").asc(), F.col("nid")
+        )
+        return (
+            res.where(F.col("qid") != F.col("nid"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+        )
+
+    def unload(self) -> None:
+        """annoy ``unload`` (annoylib.h:1141-1165): drop the cached
+        relations; the persisted artifacts stay on disk and the index
+        re-loads via load_index."""
+        self._sizes.unpersist()
 
     def append(
         self,
@@ -660,7 +709,10 @@ class AnnIndex:
         _write_meta(
             self._root, cfg, has_oversized=has_oversized, n_items=n_items
         )
-        # refresh the live relations from the appended artifacts
+        # refresh the live relations from the appended artifacts (drop the
+        # superseded cached sizes relation first — it is tiny, but a
+        # long-lived ingest loop would otherwise accrete one per batch)
+        self._sizes.unpersist()
         self._vectors = store.read(self._spark, "vectors")
         self._bucketed = store.read(self._spark, "buckets")
         self._sizes = sizes

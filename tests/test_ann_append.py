@@ -157,12 +157,41 @@ def test_introspection(spark, corpus, tmp_path):
     cfg = AnnIndexConfig(kind="forest", n_trees=4, seed=42)
     idx = build_index(spark, corpus, str(tmp_path / "idx"), cfg)
     assert idx.n_items() == corpus.count()
+    assert idx.n_trees() == 4
     assert idx.n_buckets() > 0
     v = idx.get_item_vector(0)
     # angular stores the unit vector
     assert abs(sum(x * x for x in v) - 1.0) < 1e-9
     with pytest.raises(KeyError):
         idx.get_item_vector(123456789)
+
+
+def test_query_by_items(spark, corpus, tmp_path):
+    """get_nns_by_item over the stored index (annoylib.h:1228-1232): the
+    query vector is the stored item's own representation, so its nearest
+    neighbor (excluding itself) is a cluster twin; include_self=True
+    returns the item itself at distance ~0 rank 1."""
+    cfg = AnnIndexConfig(
+        kind="forest", n_trees=16, seed=42, sample_fraction=1.0
+    )
+    idx = build_index(spark, corpus, str(tmp_path / "idx"), cfg)
+    ids = spark.createDataFrame(
+        [(0,), (7,), (140,)], "vec_id long"
+    )
+    with_self = idx.query_by_items(ids, k=5, include_self=True).collect()
+    firsts = {r.qid: (r.nid, r.distance) for r in with_self if r.rank == 1}
+    assert set(firsts) == {0, 7, 140}
+    for qid, (nid, d) in firsts.items():
+        assert nid == qid and d < 1e-9
+    without = idx.query_by_items(ids, k=5).collect()
+    assert len(without) == 15
+    assert all(r.nid != r.qid for r in without)
+    # ranks re-densified 1..k per query
+    for q in (0, 7, 140):
+        assert sorted(r.rank for r in without if r.qid == q) == [1, 2, 3, 4, 5]
+    # neighbors are cluster twins (cluster = vec_id % 20)
+    top1 = {r.qid: r.nid for r in without if r.rank == 1}
+    assert all(nid % 20 == qid % 20 for qid, nid in top1.items())
 
 
 def test_lsh_save_load_bit_identical(spark, corpus, queries, tmp_path):

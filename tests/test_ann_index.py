@@ -274,6 +274,11 @@ def test_submit_index_cli(spark, corpus, queries, tmp_path):
 
     assert main(["build", "--items", items, "--root", root,
                  "--kind", "forest"]) == 0
+    more = str(tmp_path / "more.parquet")
+    corpus.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    ).write.parquet(more)
+    assert main(["append", "--items", more, "--root", root]) == 0
     assert main(["query", "--root", root, "--queries", qsrc,
                  "--output", out, "--k", "5"]) == 0
     res = spark.read.parquet(out)

@@ -1,0 +1,90 @@
+"""1M-file absolute-scale spotcheck of the full dedup pipeline.
+
+Same protocol as the per-round ladder (tools/bench_scaling.py) at one
+fixed level: local[32], taskset-pinned, tmpfs spark.local.dir, warmup
+pipeline excluded, min over N rounds (the host VM shows 5-20% steal).
+Writes BENCH/1M_SPOTCHECK.json.
+
+Usage: python tools/bench_1m.py [n_files] [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+CHILD = r"""
+import json, shutil, sys, time
+sys.path.insert(0, "{repo}")
+from annoy_spark.session import get_spark
+from annoy_spark.config import DedupConfig
+from annoy_spark.corpus import generate_corpus
+from annoy_spark.plans.pipeline import run_pipeline
+
+corpus_path, ckpt = sys.argv[1], sys.argv[2]
+spark = get_spark("spot1m", master="local[32]", shuffle_partitions=64,
+                  extra_conf={{"spark.local.dir": "/dev/shm/spark_spot1m"}})
+spark.sparkContext.setLogLevel("ERROR")
+wdf, _ = generate_corpus(spark, 2000, seed=1, partitions=32)
+run_pipeline(spark, wdf, DedupConfig(), ckpt + "_warm", resume=False)
+shutil.rmtree(ckpt + "_warm", ignore_errors=True)
+
+corpus = spark.read.parquet(corpus_path)
+n = corpus.count()
+shutil.rmtree(ckpt, ignore_errors=True)
+t0 = time.time()
+res = run_pipeline(spark, corpus, DedupConfig(), ckpt, resume=False)
+rows = res.clusters.count()
+dt = time.time() - t0
+print(json.dumps({{"files": n, "sec": round(dt, 1),
+    "files_per_sec": round(n / dt), "clusters_rows": rows,
+    "stages": {{k: round(v.get("duration_s", 0), 1)
+               for k, v in res.metrics.items()}}}}))
+"""
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    corpus_path = f"/tmp/spot_corpus_{n_files}"
+    gen = f"""
+import sys; sys.path.insert(0, "{REPO}")
+from annoy_spark.session import get_spark
+from annoy_spark.corpus import generate_corpus
+spark = get_spark("gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+df, _ = generate_corpus(spark, {n_files}, seed=42, partitions=128)
+df.write.mode("overwrite").parquet("{corpus_path}")
+"""
+    subprocess.run([sys.executable, "-c", gen], check=True,
+                   capture_output=True, text=True, timeout=1800)
+
+    runs = []
+    for _ in range(rounds):
+        out = subprocess.run(
+            ["taskset", "-c", "0-31", sys.executable, "-c",
+             CHILD.format(repo=str(REPO)), corpus_path,
+             "/dev/shm/spot1m_ckpt"],
+            capture_output=True, text=True, timeout=3600, check=True,
+        )
+        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        print(json.dumps(runs[-1]), flush=True)
+
+    best = min(runs, key=lambda r: r["sec"])
+    best["note"] = (
+        f"round-4 code; min of {rounds} rounds on a shared VM with "
+        f"5-20% steal (all rounds: {[r['sec'] for r in runs]})"
+    )
+    (REPO / "BENCH" / "1M_SPOTCHECK.json").write_text(
+        json.dumps(best, indent=1)
+    )
+    print("wrote BENCH/1M_SPOTCHECK.json")
+
+
+if __name__ == "__main__":
+    main()
