@@ -273,13 +273,15 @@ class AnnModel:
         return out
 
     def keys_col(
-        self, vec_col: str, query_side: bool, spill_eps: float = 0.0
+        self, vec_col: str, query_side: bool, spill_eps: float = 0.0,
+        nprobe: int | None = None,
     ) -> F.Column:
         """array<long> bucket keys for one row. query_side controls the
         asymmetric knobs: forest spill (search_k analog — query-time only),
-        IVF nprobe (items live in 1 cell, queries probe nprobe), MIPS
-        augmentation (items sqrt(M²-|x|²), queries 0 — annoylib.h:605-703).
-        """
+        IVF nprobe (items live in 1 cell, queries probe nprobe; overridable
+        per query — search_k is a query-time budget, annoylib.h:1447-1480),
+        MIPS augmentation (items sqrt(M²-|x|²), queries 0 —
+        annoylib.h:605-703)."""
         cfg = self.cfg
         if cfg.kind == "forest":
             if cfg.metric == "hamming":
@@ -290,7 +292,7 @@ class AnnModel:
             )
             return udf(_stored_vec(cfg, vec_col))
         if cfg.kind == "ivf":
-            nprobe = cfg.nprobe if query_side else 1
+            nprobe = (nprobe or cfg.nprobe) if query_side else 1
             udf = _probe_udf(self.arrays["centroids"], nprobe, cfg.metric)
             if cfg.metric == "hamming":
                 return udf(F.col(vec_col).cast("array<long>"))
@@ -407,6 +409,7 @@ def _query_plan(
     spill_eps: float,
     has_oversized: bool,
     small_queries: bool | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """(qid, nid, rank, distance): route queries with the stored model,
     replicate across oversized buckets' salts, equi-join stored
@@ -426,7 +429,8 @@ def _query_plan(
     qbase = queries.select(
         F.col(id_col).alias("qid"),
         _stored_vec(cfg, vec_col).alias("qv"),
-        model.keys_col(vec_col, query_side=True, spill_eps=spill_eps)
+        model.keys_col(vec_col, query_side=True, spill_eps=spill_eps,
+                       nprobe=nprobe)
         .alias("keys"),
     )
     qroutes = qbase.select("qid", F.explode("keys").alias("bucket"))
@@ -580,15 +584,19 @@ class AnnIndex:
         vec_col: str = "embedding",
         spill_eps: float = 0.0,
         small_queries: bool | None = None,
+        nprobe: int | None = None,
     ) -> DataFrame:
         """get_nns_by_vector over the stored index (annoylib.h:1234-1236):
         (qid, nid, rank, distance). spill_eps widens the forest candidate
-        set at query time (the search_k analog). small_queries pins or
-        forbids the broadcast serving plan; None probes the batch size."""
+        set at query time and nprobe overrides the IVF probe count — both
+        are search_k analogs (annoylib.h:1447-1480: the accuracy budget
+        is spent at query time, one stored index serves every budget).
+        small_queries pins or forbids the broadcast serving plan; None
+        probes the batch size."""
         return _query_plan(
             queries, self._vectors, self._assign, self._sizes, self.model,
             k, id_col, vec_col, spill_eps, self._has_oversized,
-            small_queries,
+            small_queries, nprobe,
         )
 
     def query_by_items(

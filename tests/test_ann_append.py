@@ -221,6 +221,30 @@ def test_lsh_save_load_bit_identical(spark, corpus, queries, tmp_path):
         ]
 
 
+def test_ivf_query_time_nprobe(spark, corpus, queries, tmp_path):
+    """nprobe is a QUERY-TIME budget on the stored IVF index (the
+    search_k contract, annoylib.h:1447-1480): one build serves every
+    accuracy level, wider probes recall at least as much."""
+    k = 10
+    cfg = AnnIndexConfig(
+        kind="ivf", metric="angular", n_centroids=20, nprobe=2, seed=42,
+        sample_fraction=1.0,
+    )
+    idx = build_index(spark, corpus, str(tmp_path / "ivf"), cfg)
+    exact = knn_bruteforce(corpus, queries, k=k).collect()
+    narrow = idx.query(queries, k=k).collect()          # cfg.nprobe = 2
+    wide = idx.query(queries, k=k, nprobe=10).collect()  # override
+    r_narrow = _recall(exact, narrow, k)
+    r_wide = _recall(exact, wide, k)
+    assert r_wide >= r_narrow
+    assert r_wide >= 0.9, f"nprobe=10 recall {r_wide:.3f}"
+    # default query matches an explicit nprobe=cfg.nprobe query exactly
+    same = idx.query(queries, k=k, nprobe=2).collect()
+    assert sorted((r.qid, r.nid, r.rank) for r in narrow) == sorted(
+        (r.qid, r.nid, r.rank) for r in same
+    )
+
+
 def test_large_batch_falls_back_to_shuffle(spark, corpus, tmp_path):
     """The broadcast serving contract is now GUARDED: forcing the
     large-batch path (small_queries=False) must produce the same rows as
