@@ -63,11 +63,13 @@ def main() -> None:
         wdf, _ = generate_corpus(spark, 1000, seed=1, partitions=8)
         run_pipeline(spark, wdf, DedupConfig(), f"{tmp}/warm", resume=False)
 
-        # min of 2 rounds: this VM shows 5-20% steal time, single runs
-        # swing ~1.5x (documented in BENCH/BASELINE.md); min approximates
-        # the uncontended machine
+        # min of 3 rounds: this VM shows 5-20% steal time with MULTI-MINUTE
+        # spikes (same-code bench totals swung 48.6 -> 68.5 s across one
+        # day, documented in BENCH/BASELINE.md); back-to-back rounds can
+        # all land inside one spike, so 3 rounds, min approximates the
+        # uncontended machine
         best = None
-        for rnd in range(2):
+        for rnd in range(3):
             t0 = time.time()
             res = run_pipeline(
                 spark, corpus, DedupConfig(), f"{tmp}/ckpt{rnd}", resume=False
@@ -82,11 +84,11 @@ def main() -> None:
         for name in ("documents", "embeddings"):
             spark.read.parquet(f"{sf_dir}/{name}.parquet") \
                 .createOrReplaceTempView(name)
-        # min-of-N per gate query (same steal-noise methodology as the
-        # pipeline timing; duplicate_clusters gets 3 rounds — it swung
-        # 11-14 s across rounds on single runs)
+        # min-of-3 per gate query (same steal-noise methodology as the
+        # pipeline timing; duplicate_clusters swung 11-14 s across rounds
+        # on single runs)
         for name in GATE_QUERIES:
-            rounds = 3 if name == "duplicate_clusters" else 2
+            rounds = 3
             best = None
             for _ in range(rounds):
                 t0 = time.time()
