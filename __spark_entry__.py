@@ -497,6 +497,47 @@ def _ann_index_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_stats(emb, exact, approx, 10, FOREST_BV_MIN_RECALL_PCT)
 
 
+def _ann_item_stream_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ITEM ingest gate — the daily-growing-corpus twin of the
+    append gate (annoy's unbuild -> add_item -> build as a stream): build
+    the index on half the corpus, drain the OTHER half through
+    ann_item_stream (foreachBatch append with the per-checkpoint batch
+    ledger), reload, and gate by-vector recall@k vs the exact top-k over
+    the FULL corpus."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.knn import knn_bruteforce
+    from annoy_spark.sources.ann_index import (
+        AnnIndexConfig,
+        build_index,
+        load_index,
+    )
+    from annoy_spark.streaming.ann_item_stream import ann_item_stream
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = _by_vector_queries(emb)
+    cfg = AnnIndexConfig(
+        kind="forest", metric="angular", n_trees=32, leaf_cap=32, seed=42,
+        sample_fraction=1.0,
+    )
+    tmp = tempfile.mkdtemp(prefix="annoy_spark_itemstream_")
+    build_index(spark, emb.where(F.col("vec_id") % 2 == 0), f"{tmp}/idx",
+                cfg)
+    emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(
+        f"{tmp}/in"
+    )
+    _await_or_raise(
+        ann_item_stream(spark, f"{tmp}/idx", f"{tmp}/in", f"{tmp}/ck"),
+        300,
+    )
+    idx = load_index(spark, f"{tmp}/idx", expected=cfg)
+    approx = idx.query(qs, k=10, spill_eps=0.05).select("qid", "nid")
+    exact = knn_bruteforce(emb, qs, k=10).select("qid", "nid")
+    return _recall_stats(emb, exact, approx, 10, FOREST_BV_MIN_RECALL_PCT)
+
+
 def _knn_forest_manhattan_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manhattan two_means-forest gate (Manhattan inherits Minkowski's
     create_split — offset planes, annoylib.h:849-891 — with L1
@@ -901,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_forest_by_vector_recall"] = _knn_forest_by_vector_recall
     out["knn_ivf_by_vector_recall"] = _knn_ivf_by_vector_recall
     out["ann_index_append_recall"] = _ann_index_append_recall
+    out["ann_item_stream_recall"] = _ann_item_stream_recall
     out["knn_forest_manhattan_recall"] = _knn_forest_manhattan_recall
     out["knn_forest_hamming_recall"] = _knn_forest_hamming_recall
     out["knn_ivf_manhattan_recall"] = _knn_ivf_manhattan_recall
@@ -941,6 +983,9 @@ def oracle_sql() -> dict[str, str]:
         IVF_BV_MIN_RECALL_PCT
     )
     out["ann_index_append_recall"] = G.q_knn_lsh_recall_duck(
+        FOREST_BV_MIN_RECALL_PCT
+    )
+    out["ann_item_stream_recall"] = G.q_knn_lsh_recall_duck(
         FOREST_BV_MIN_RECALL_PCT
     )
     out["knn_forest_manhattan_recall"] = G.q_knn_lsh_recall_duck(
