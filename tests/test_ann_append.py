@@ -264,6 +264,25 @@ def test_large_batch_falls_back_to_shuffle(spark, corpus, tmp_path):
     assert len(a) == corpus.count() * 5
 
 
+def test_load_rejects_old_format(spark, corpus, tmp_path):
+    """An index whose meta lacks (or mismatches) the persisted-format
+    version must fail the load-time geometry check with a clear message,
+    not mis-read the artifacts (the annoy analog: an index file from an
+    incompatible version fails `size % _s`)."""
+    import json
+    from pathlib import Path
+
+    cfg = AnnIndexConfig(kind="forest", n_trees=4, seed=42)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus.where(F.col("vec_id") < 100), root, cfg)
+    meta_path = Path(root) / "model" / "_ANNOY_SPARK_META.json"
+    meta = json.loads(meta_path.read_text())
+    meta["format"] = 1
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="format"):
+        load_index(spark, root)
+
+
 def test_item_stream_restart_safe(spark, corpus, queries, tmp_path):
     """Streaming item ingest: two waves through the same checkpoint append
     exactly once each; a re-run with no new files appends nothing; the

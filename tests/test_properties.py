@@ -96,3 +96,55 @@ def test_winnow_guarantee_random_blocks(seed):
     ha, _ = fingerprint_positions(a, c, w)
     hb, _ = fingerprint_positions(b, c, w)
     assert set(ha) & set(hb)
+
+
+@given(
+    st.lists(
+        st.lists(ints, min_size=2, max_size=2), min_size=3, max_size=40
+    ),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_hamming_tree_partitions_and_routes_consistently(rows, seed):
+    """Every sample lands in exactly one leaf, and routing the SAME rows
+    through hamming_forest_leaf_udf's bit logic reproduces the leaf the
+    builder assigned — the margin contract of annoylib.h:744-752 (bit at
+    position p, MSB-first within each 64-bit word)."""
+    from annoy_spark.operators.forest import (
+        HammingTree,
+        _bit_side,
+        build_hamming_tree,
+    )
+
+    x = np.asarray(rows, dtype=np.int64)
+    tree = build_hamming_tree(x, seed=seed, leaf_cap=2)
+
+    # route each row down the tree with the same bit test the builder used
+    def route(sig):
+        node = 0
+        while tree.bits[node] >= 0:
+            side = bool(_bit_side(sig[None, :], int(tree.bits[node]))[0])
+            node = tree.children[node][1 if side else 0]
+        return node
+
+    leaves = [route(r) for r in x]
+    # every reached node is a leaf; identical signatures share a leaf
+    for i, leaf in enumerate(leaves):
+        assert tree.bits[leaf] < 0
+        for j in range(i):
+            if np.array_equal(x[i], x[j]):
+                assert leaves[j] == leaf
+
+
+@given(st.integers(min_value=0, max_value=127), ints, ints)
+@settings(max_examples=60, deadline=None)
+def test_bit_side_matches_reference_margin(pos, w0, w1):
+    """_bit_side == annoy's Hamming margin (annoylib.h:744-752):
+    chunk = pos / 64, mask = 1 << (63 - pos % 64) on the unsigned word."""
+    from annoy_spark.operators.forest import _bit_side
+
+    words = np.asarray([[w0, w1]], dtype=np.int64)
+    got = bool(_bit_side(words, pos)[0])
+    chunk, off = pos // 64, 63 - (pos % 64)
+    want = bool((np.uint64(words[0, chunk]) >> np.uint64(off)) & np.uint64(1))
+    assert got == want
