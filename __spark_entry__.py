@@ -461,6 +461,65 @@ def _knn_ivf_by_vector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_stats(emb, exact, approx, 10, IVF_BV_MIN_RECALL_PCT)
 
 
+def _knn_forest_dot_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DotProduct TREES (annoylib.h:540-552 node dot_factor, :605-703
+    create_split/preprocess): the forest kind with metric='dot' — angular
+    two_means trees over the Bachrach-augmented (dim+1) space (items
+    carry sqrt(M^2-|x|^2), queries 0), exact -<q,n> re-rank. Full
+    persisted lifecycle: build, save, load, query by vector; recall@k vs
+    the exact dot top-k. Measured 1.00 at this budget on both gate sfs."""
+    import tempfile
+
+    from annoy_spark.operators.knn import knn_bruteforce
+    from annoy_spark.sources.ann_index import (
+        AnnIndexConfig,
+        build_index,
+        load_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = _by_vector_queries(emb)
+    cfg = AnnIndexConfig(
+        kind="forest", metric="dot", n_trees=32, leaf_cap=32, seed=42,
+        sample_fraction=1.0,
+    )
+    root = tempfile.mkdtemp(prefix="annoy_spark_forest_dot_idx_")
+    build_index(spark, emb, root, cfg)
+    idx = load_index(spark, root, expected=cfg)
+    approx = idx.query(qs, k=10, spill_eps=0.05).select("qid", "nid")
+    exact = knn_bruteforce(emb, qs, k=10, metric="dot").select("qid", "nid")
+    return _recall_stats(emb, exact, approx, 10, FOREST_BV_MIN_RECALL_PCT)
+
+
+def _knn_ivf_dot_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF twin of the DotProduct-trees gate: spherical centroids trained
+    over the MIPS-augmented space (annoylib.h:605-703), items assigned by
+    their augmented form, queries probe nprobe cells with the
+    0-augmentation, exact -<q,n> re-rank. Measured 0.87/0.91 at the two
+    gate sfs at this budget."""
+    import tempfile
+
+    from annoy_spark.operators.knn import knn_bruteforce
+    from annoy_spark.sources.ann_index import (
+        AnnIndexConfig,
+        build_index,
+        load_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = _by_vector_queries(emb)
+    cfg = AnnIndexConfig(
+        kind="ivf", metric="dot", n_centroids=32, nprobe=16, seed=42,
+        sample_fraction=1.0,
+    )
+    root = tempfile.mkdtemp(prefix="annoy_spark_ivf_dot_idx_")
+    build_index(spark, emb, root, cfg)
+    idx = load_index(spark, root, expected=cfg)
+    approx = idx.query(qs, k=10).select("qid", "nid")
+    exact = knn_bruteforce(emb, qs, k=10, metric="dot").select("qid", "nid")
+    return _recall_stats(emb, exact, approx, 10, IVF_BV_MIN_RECALL_PCT)
+
+
 def _ann_index_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-append lifecycle gate (annoy's unbuild -> add_item ->
     build reopening, annoylib.h:1080-1091; allowed transitions pinned by
@@ -584,6 +643,54 @@ def _knn_forest_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim, sim, k=10, metric="hamming", id_col="doc_id", vec_col="sig"
     ).select("qid", "nid")
     return _recall_stats(sim, exact, approx, 10, HAMMING_LSH_MIN_RECALL_PCT)
+
+
+HAMMING_SPILL_MIN_RECALL_PCT = 95
+
+
+def _knn_forest_hamming_spill_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Query-time accuracy knob for the STORED hamming bit-split forest —
+    annoy's search_k DOES widen hamming searches (the priority queue over
+    bit margins, annoylib.h:745-756, :1447-1480); the bit-tree analog is
+    spill LEVELS: probe both children at the bottom floor(spill_eps)
+    split levels (<= 2^d leaves/tree), query side only. Full persisted
+    lifecycle at spill=2; the gate floor sits ABOVE the spill-0 measured
+    recall (0.94-0.96), so it fails if the knob stops widening. Measured
+    1.00 / 0.9955 at the two gate sfs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.knn import knn_bruteforce
+    from annoy_spark.sources.ann_index import (
+        AnnIndexConfig,
+        build_index,
+        load_index,
+    )
+
+    _register(spark, sf_dir)
+    sim = spark.sql(G.simhash_signatures_sql_spark()).select(
+        "doc_id", F.array("sig").alias("sig")
+    )
+    qs = sim.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "sig"
+    )
+    cfg = AnnIndexConfig(
+        kind="forest", metric="hamming", n_trees=32, leaf_cap=16, seed=42,
+        sample_fraction=1.0,
+    )
+    root = tempfile.mkdtemp(prefix="annoy_spark_ham_spill_idx_")
+    build_index(spark, sim, root, cfg, id_col="doc_id", vec_col="sig")
+    idx = load_index(spark, root, expected=cfg)
+    approx = idx.query(
+        qs, k=10, id_col="doc_id", vec_col="sig", spill_eps=2.0
+    ).select("qid", "nid")
+    exact = knn_bruteforce(
+        sim, qs, k=10, metric="hamming", id_col="doc_id", vec_col="sig"
+    ).select("qid", "nid")
+    return _recall_stats(sim, exact, approx, 10, HAMMING_SPILL_MIN_RECALL_PCT)
 
 
 def _knn_ivf_manhattan_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,10 +1048,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_hamming_lsh_recall"] = _knn_hamming_lsh_recall
     out["knn_forest_by_vector_recall"] = _knn_forest_by_vector_recall
     out["knn_ivf_by_vector_recall"] = _knn_ivf_by_vector_recall
+    out["knn_forest_dot_recall"] = _knn_forest_dot_recall
+    out["knn_ivf_dot_recall"] = _knn_ivf_dot_recall
     out["ann_index_append_recall"] = _ann_index_append_recall
     out["ann_item_stream_recall"] = _ann_item_stream_recall
     out["knn_forest_manhattan_recall"] = _knn_forest_manhattan_recall
     out["knn_forest_hamming_recall"] = _knn_forest_hamming_recall
+    out["knn_forest_hamming_spill_recall"] = _knn_forest_hamming_spill_recall
     out["knn_ivf_manhattan_recall"] = _knn_ivf_manhattan_recall
     out["knn_ivf_hamming_recall"] = _knn_ivf_hamming_recall
     out["knn_lsh_by_vector_recall"] = _knn_lsh_by_vector_recall
@@ -982,6 +1092,12 @@ def oracle_sql() -> dict[str, str]:
     out["knn_ivf_by_vector_recall"] = G.q_knn_lsh_recall_duck(
         IVF_BV_MIN_RECALL_PCT
     )
+    out["knn_forest_dot_recall"] = G.q_knn_lsh_recall_duck(
+        FOREST_BV_MIN_RECALL_PCT
+    )
+    out["knn_ivf_dot_recall"] = G.q_knn_lsh_recall_duck(
+        IVF_BV_MIN_RECALL_PCT
+    )
     out["ann_index_append_recall"] = G.q_knn_lsh_recall_duck(
         FOREST_BV_MIN_RECALL_PCT
     )
@@ -993,6 +1109,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["knn_forest_hamming_recall"] = G.q_knn_hamming_lsh_recall_duck(
         HAMMING_LSH_MIN_RECALL_PCT
+    )
+    out["knn_forest_hamming_spill_recall"] = G.q_knn_hamming_lsh_recall_duck(
+        HAMMING_SPILL_MIN_RECALL_PCT
     )
     out["knn_ivf_manhattan_recall"] = G.q_knn_lsh_recall_duck(
         IVF_MIN_RECALL_PCT

@@ -294,14 +294,34 @@ def build_hamming_tree(
     )
 
 
-def hamming_forest_leaf_udf(trees: list[HammingTree]):
-    """pandas UDF: packed int64 signature -> one leaf key per tree.
+def _subtree_heights(children: np.ndarray) -> np.ndarray:
+    """Height of each node's subtree (leaf = 0). Children always carry a
+    larger index than their parent (build appends child nodes after the
+    parent), so one reverse pass suffices."""
+    h = np.zeros(len(children), dtype=np.int64)
+    for i in range(len(children) - 1, -1, -1):
+        l, r = children[i]
+        if l >= 0:
+            h[i] = 1 + max(h[l], h[r])
+    return h
+
+
+def hamming_forest_leaf_udf(trees: list[HammingTree], spill_levels: int = 0):
+    """pandas UDF: packed int64 signature -> leaf keys (>=1 per tree).
 
     Level-synchronous vectorized bit tests (margin, annoylib.h:744-752).
-    No spill analog: a hamming margin is a bit, not a distance to a
-    plane — query-time widening comes from n_trees (and the LSH kind's
-    multi-table bit sampling covers the search_k-style budget knob)."""
-    packed = [(t.bits, t.children, ti) for ti, t in enumerate(trees)]
+    A hamming margin is a bit, not a distance to a plane, so spill_eps has
+    no direct analog — the search_k-style query-time widening
+    (annoylib.h:745-756 margin/side feeding the :1447-1480 priority-queue
+    traversal, which DOES widen hamming searches) is ``spill_levels``:
+    descend BOTH children at every split whose subtree height is
+    <= spill_levels, i.e. probe all <= 2^d leaves of the bottom d levels.
+    Query-side only; the stored assignments are untouched, so one stored
+    index serves every accuracy budget."""
+    packed = [
+        (t.bits, t.children, _subtree_heights(t.children), ti)
+        for ti, t in enumerate(trees)
+    ]
     stride = 1 + max(len(t.children) for t in trees)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -311,15 +331,15 @@ def hamming_forest_leaf_udf(trees: list[HammingTree]):
         mat = np.stack([np.asarray(v, dtype=np.int64) for v in vecs])
         umat = mat.view(np.uint64)
         n = len(mat)
-        out = np.empty((n, len(packed)), dtype=np.int64)
-        for bits, children, ti in packed:
+        acc_rows, acc_keys = [], []  # flat (row, key) pairs, vectorized
+        for bits, children, heights, ti in packed:
             rows = np.arange(n)
             cur = np.zeros(n, dtype=np.int64)
-            done = np.zeros(n, dtype=np.int64)
             while len(rows):
                 is_leaf = bits[cur] < 0
                 if is_leaf.any():
-                    done[rows[is_leaf]] = cur[is_leaf]
+                    acc_rows.append(rows[is_leaf])
+                    acc_keys.append(ti * stride + cur[is_leaf])
                 rows, cur = rows[~is_leaf], cur[~is_leaf]
                 if not len(rows):
                     break
@@ -328,9 +348,23 @@ def hamming_forest_leaf_udf(trees: list[HammingTree]):
                 side = (
                     (umat[rows, chunk] >> off) & np.uint64(1)
                 ).astype(np.int64)
-                cur = children[cur, side]
-            out[:, ti] = ti * stride + done
-        return pd.Series([r.tolist() for r in out])
+                nxt = children[cur, side]
+                if spill_levels > 0:
+                    both = heights[cur] <= spill_levels
+                    other = children[cur, 1 - side][both]
+                    rows = np.concatenate([rows, rows[both]])
+                    cur = np.concatenate([nxt, other])
+                else:
+                    cur = nxt
+        ar = np.concatenate(acc_rows)
+        ak = np.concatenate(acc_keys)
+        order = np.lexsort((ak, ar))
+        ar, ak = ar[order], ak[order]
+        keep = np.ones(len(ar), dtype=bool)  # dedup (row, key)
+        keep[1:] = (ar[1:] != ar[:-1]) | (ak[1:] != ak[:-1])
+        ar, ak = ar[keep], ak[keep]
+        per_row = np.split(ak, np.searchsorted(ar, np.arange(1, n)))
+        return pd.Series([k.tolist() for k in per_row])
 
     return leaves
 
@@ -442,11 +476,14 @@ def knn_forest(
     queries: DataFrame | None = None,
 ) -> DataFrame:
     """All-items approximate top-k via the forest:
-    (qid, nid, rank, distance). metric in ('angular', 'euclidean',
-    'manhattan', 'hamming') — the float metrics build two_means trees,
-    hamming builds axis-aligned bit-split trees (annoylib.h:758-792) over
-    packed int64 signatures (spill_eps has no hamming analog and is
-    ignored there).
+    (qid, nid, rank, distance). metric in ('angular', 'dot', 'euclidean',
+    'manhattan', 'hamming') — the float metrics build two_means trees
+    ('dot' builds ANGULAR trees over the MIPS-augmented space,
+    annoylib.h:605-703, and re-ranks by -<q,n>), hamming builds
+    axis-aligned bit-split trees (annoylib.h:758-792) over packed int64
+    signatures (spill_eps has no margin analog there — on the by-vector
+    path it is read as the number of bottom split LEVELS probed on both
+    sides, the bit-tree search_k analog).
 
     Same output contract as knn_lsh/knn_ivf; candidate generation is the
     (tree, leaf) equi-join — shuffle-friendly, reducer-bounded by
@@ -459,12 +496,12 @@ def knn_forest(
     joined against the item leaf assignments. For the build-once /
     save / load / query-forever lifecycle use
     annoy_spark.sources.ann_index.build_index / load_index."""
-    if metric not in ("angular", "euclidean", "manhattan", "hamming"):
+    if metric not in ("angular", "dot", "euclidean", "manhattan", "hamming"):
         raise ValueError(
-            "knn_forest supports angular/euclidean/manhattan/hamming, "
+            "knn_forest supports angular/dot/euclidean/manhattan/hamming, "
             f"got {metric}"
         )
-    if queries is not None:
+    if queries is not None or metric == "dot":
         from annoy_spark.sources.ann_index import (
             AnnIndexConfig,
             knn_by_vector_approx,
@@ -475,8 +512,25 @@ def knn_forest(
             leaf_cap=leaf_cap, bucket_cap=bucket_cap, max_sample=max_sample,
             sample_fraction=sample_fraction,
         )
-        return knn_by_vector_approx(
-            items, queries, cfg, k, id_col, vec_col, spill_eps=spill_eps
+        if queries is not None:
+            return knn_by_vector_approx(
+                items, queries, cfg, k, id_col, vec_col, spill_eps=spill_eps
+            )
+        # all-items dot is intrinsically ASYMMETRIC (items route through
+        # the sqrt(M^2-|x|^2) augmentation, queries through the
+        # 0-augmentation — annoylib.h:605-703), so the by-vector plan with
+        # items on both sides is the one-pass expression; drop self and
+        # re-densify ranks (same contract as the other all-items paths)
+        res = knn_by_vector_approx(
+            items, items, cfg, k + 1, id_col, vec_col, spill_eps=spill_eps
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("distance").asc(), F.col("nid")
+        )
+        return (
+            res.where(F.col("qid") != F.col("nid"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
         )
     trees = build_forest(
         items, n_trees=n_trees, leaf_cap=leaf_cap, seed=seed, metric=metric,

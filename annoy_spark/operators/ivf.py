@@ -205,21 +205,23 @@ def knn_ivf(
 ) -> DataFrame:
     """All-items approximate top-k via IVF cells: (qid, nid, rank, distance).
 
-    metric in ('angular', 'euclidean', 'manhattan', 'hamming'); exact
-    re-rank in the true metric (hamming runs over packed int64 signature
-    words with a binary k-majority quantizer).
+    metric in ('angular', 'dot', 'euclidean', 'manhattan', 'hamming');
+    exact re-rank in the true metric (hamming runs over packed int64
+    signature words with a binary k-majority quantizer; 'dot' trains
+    spherical centroids over the MIPS-augmented space, annoylib.h:605-703,
+    and re-ranks by -<q,n>).
 
     queries=DataFrame switches to by-VECTOR mode (get_nns_by_vector,
     annoylib.h:1234-1236): query rows probe their nprobe nearest cells of
     the SAME trained quantizer and join the item cell assignments. For the
     persisted build/save/load lifecycle use
     annoy_spark.sources.ann_index.build_index / load_index."""
-    if metric not in ("angular", "euclidean", "manhattan", "hamming"):
+    if metric not in ("angular", "dot", "euclidean", "manhattan", "hamming"):
         raise ValueError(
-            f"knn_ivf supports angular/euclidean/manhattan/hamming, "
+            f"knn_ivf supports angular/dot/euclidean/manhattan/hamming, "
             f"got {metric}"
         )
-    if queries is not None:
+    if queries is not None or metric == "dot":
         from annoy_spark.sources.ann_index import (
             AnnIndexConfig,
             knn_by_vector_approx,
@@ -230,7 +232,21 @@ def knn_ivf(
             nprobe=nprobe, bucket_cap=cell_cap,
             sample_fraction=sample_fraction,
         )
-        return knn_by_vector_approx(items, queries, cfg, k, id_col, vec_col)
+        if queries is not None:
+            return knn_by_vector_approx(
+                items, queries, cfg, k, id_col, vec_col
+            )
+        # all-items dot: asymmetric MIPS routing (annoylib.h:605-703) —
+        # express as by-vector with items on both sides, then drop self
+        res = knn_by_vector_approx(items, items, cfg, k + 1, id_col, vec_col)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("distance").asc(), F.col("nid")
+        )
+        return (
+            res.where(F.col("qid") != F.col("nid"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+        )
     cent = train_centroids(
         items, n_centroids, seed, vec_col, metric,
         sample_fraction=sample_fraction, id_col=id_col,

@@ -82,8 +82,8 @@ from annoy_spark.operators.knn import (
 from annoy_spark.sources.checkpoint import CheckpointStore
 
 _KIND_METRICS = {
-    "forest": ("angular", "euclidean", "manhattan", "hamming"),
-    "ivf": ("angular", "euclidean", "manhattan", "hamming"),
+    "forest": ("angular", "dot", "euclidean", "manhattan", "hamming"),
+    "ivf": ("angular", "dot", "euclidean", "manhattan", "hamming"),
     "lsh": ("angular", "dot", "euclidean", "manhattan", "hamming"),
 }
 
@@ -146,6 +146,22 @@ def _unit(raw: F.Column) -> F.Column:
     return F.when(n > 0, F.transform(raw, lambda x: x / n)).otherwise(raw)
 
 
+def _mips_aug(raw: F.Column, max_n2: float, query_side: bool) -> F.Column:
+    """Bachrach MIPS reduction (annoylib.h:605-703 DotProduct preprocess):
+    items gain an extra coordinate sqrt(M^2 - |x|^2) (M = max build norm,
+    annoy's dot_factor), queries gain 0 — max-inner-product over the raw
+    space becomes min-angular over the augmented space, so ANGULAR routers
+    (trees / centroids / hyperplanes) index dot similarity."""
+    if query_side:
+        return F.concat(raw, F.array(F.lit(0.0)))
+    return F.concat(
+        raw,
+        F.array(
+            F.sqrt(F.greatest(F.lit(0.0), F.lit(max_n2) - _norm2(raw)))
+        ),
+    )
+
+
 def _stored_vec(cfg: AnnIndexConfig, vec_col: str) -> F.Column:
     """The vector representation persisted with the index and used by the
     exact re-rank: unit vectors for angular (annoy caches norms,
@@ -206,10 +222,25 @@ class AnnModel:
         vec_col: str,
     ) -> "AnnModel":
         arrays: dict[str, np.ndarray] = {}
+        router_metric = cfg.metric
+        if cfg.metric == "dot" and cfg.kind in ("forest", "ivf"):
+            # DotProduct trees (annoylib.h:605-703): the router is an
+            # ANGULAR structure over the (dim+1)-augmented space; the
+            # data-dependent scale M^2 is frozen into the model exactly
+            # like annoy's preprocess stamps dot_factor into every node
+            raw = F.col(vec_col).cast("array<double>")
+            max_n2 = items.select(F.max(_norm2(raw)).alias("m")).first()["m"]
+            max_n2 = float(max_n2 or 0.0)
+            arrays["max_n2"] = np.asarray([max_n2], dtype=np.float64)
+            items = items.withColumn(
+                "__aug_vec", _mips_aug(raw, max_n2, query_side=False)
+            )
+            vec_col = "__aug_vec"
+            router_metric = "angular"
         if cfg.kind == "forest":
             trees = build_forest(
                 items, n_trees=cfg.n_trees, leaf_cap=cfg.leaf_cap,
-                seed=cfg.seed, metric=cfg.metric, vec_col=vec_col,
+                seed=cfg.seed, metric=router_metric, vec_col=vec_col,
                 id_col=id_col, max_sample=cfg.max_sample,
                 sample_fraction=cfg.sample_fraction,
             )
@@ -238,7 +269,7 @@ class AnnModel:
                 )
         elif cfg.kind == "ivf":
             arrays["centroids"] = train_centroids(
-                items, cfg.n_centroids, cfg.seed, vec_col, cfg.metric,
+                items, cfg.n_centroids, cfg.seed, vec_col, router_metric,
                 max_train=cfg.max_sample,
                 sample_fraction=cfg.sample_fraction, id_col=id_col,
             )
@@ -283,9 +314,34 @@ class AnnModel:
         MIPS augmentation (items sqrt(M²-|x|²), queries 0 —
         annoylib.h:605-703)."""
         cfg = self.cfg
+        if cfg.kind in ("forest", "ivf") and cfg.metric == "dot":
+            # route through the ANGULAR router over the augmented space
+            # (annoylib.h:605-703): the stored/re-rank vector stays raw
+            routed = _mips_aug(
+                F.col(vec_col).cast("array<double>"),
+                float(self.arrays["max_n2"][0]),
+                query_side,
+            )
+            if cfg.kind == "forest":
+                udf = forest_leaf_udf(
+                    self.trees(), spill_eps=spill_eps if query_side else 0.0
+                )
+                # unit-normalize so spill_eps margins are scale-comparable
+                # (trees are trained on unit augmented samples)
+                return udf(_unit(routed))
+            nprobe = (nprobe or cfg.nprobe) if query_side else 1
+            udf = _probe_udf(self.arrays["centroids"], nprobe, "angular")
+            return udf(routed)
         if cfg.kind == "forest":
             if cfg.metric == "hamming":
-                udf = hamming_forest_leaf_udf(self.trees())
+                # a hamming margin is a bit, not a distance, so the
+                # query-time budget is spill LEVELS: floor(spill_eps)
+                # bottom split levels probed on both sides (<= 2^d leaves
+                # per tree) — the bit-tree search_k analog
+                udf = hamming_forest_leaf_udf(
+                    self.trees(),
+                    spill_levels=int(spill_eps) if query_side else 0,
+                )
                 return udf(F.col(vec_col).cast("array<long>"))
             udf = forest_leaf_udf(
                 self.trees(), spill_eps=spill_eps if query_side else 0.0
@@ -576,6 +632,37 @@ class AnnIndex:
             raise KeyError(f"no item {nid!r} in the index")
         return list(row["v"])
 
+    def get_distance(self, i, j) -> float:
+        """annoy ``get_distance`` (annoylib.h:1224-1226): the USER-FACING
+        distance between two stored items, i.e. normalized_distance of the
+        internal form (annoylib.h:512-517, 657-659, 794-796, 862-865,
+        893-895): angular sqrt(2-2cos), euclidean sqrt, manhattan L1,
+        hamming popcount — identical to the query paths' ``distance``
+        column — and for metric='dot' the RAW dot product <i,j>
+        (the query paths rank by -dot ascending; annoy's Python layer
+        reports the positive product, annoylib.h:657-659).
+        Raises KeyError when either id is not stored."""
+        va = self._vectors.where(F.col("nid") == F.lit(i)).select(
+            F.col("v").alias("qv")
+        )
+        vb = self._vectors.where(F.col("nid") == F.lit(j)).select(
+            F.col("v").alias("nv")
+        )
+        row = (
+            va.crossJoin(vb)
+            .select(_distance(self.cfg, "qv", "nv").alias("d"))
+            .first()
+        )
+        if row is None:
+            missing = [
+                x for x in (i, j)
+                if self._vectors.where(F.col("nid") == F.lit(x)).first()
+                is None
+            ]
+            raise KeyError(f"no stored item(s) {missing!r} in the index")
+        d = float(row["d"])
+        return -d if self.cfg.metric == "dot" else d
+
     def query(
         self,
         queries: DataFrame,
@@ -591,6 +678,9 @@ class AnnIndex:
         set at query time and nprobe overrides the IVF probe count — both
         are search_k analogs (annoylib.h:1447-1480: the accuracy budget
         is spent at query time, one stored index serves every budget).
+        For HAMMING forests spill_eps is read as a level count
+        (floor(spill_eps) bottom split levels probed on both sides —
+        a bit margin has no eps scale, see hamming_forest_leaf_udf).
         small_queries pins or forbids the broadcast serving plan; None
         probes the batch size."""
         return _query_plan(
@@ -673,7 +763,7 @@ class AnnIndex:
                 f"appended vectors must have dim {cfg.dim} "
                 "(annoy load-validation analog: geometry is frozen)"
             )
-        if cfg.kind == "lsh" and cfg.metric == "dot":
+        if cfg.metric == "dot":
             # the MIPS augmentation sqrt(M^2-|x|^2) is frozen at build
             # (annoylib.h:605-703 preprocess); an appended item with a
             # larger norm would silently clamp to 0 and lose recall

@@ -138,6 +138,57 @@ def test_mips_by_vector_recall(spark, corpus, queries):
     assert r >= 0.85, f"mips by-vector recall {r:.3f}"
 
 
+def test_forest_dot_by_vector_recall(spark, corpus, queries):
+    """DotProduct TREES (annoylib.h:540-552, 605-703): forest kind with
+    metric='dot' — angular two_means trees over the MIPS-augmented space,
+    exact -<q,n> re-rank."""
+    k = 10
+    exact = knn_bruteforce(corpus, queries, k=k, metric="dot").collect()
+    approx = knn_forest(
+        corpus, k=k, n_trees=16, seed=42, sample_fraction=1.0,
+        metric="dot", queries=queries, spill_eps=0.15,
+    ).collect()
+    r = _recall(exact, approx, k)
+    assert r >= 0.85, f"forest dot by-vector recall {r:.3f}"
+
+
+def test_ivf_dot_by_vector_recall(spark, corpus, queries):
+    k = 10
+    exact = knn_bruteforce(corpus, queries, k=k, metric="dot").collect()
+    approx = knn_ivf(
+        corpus, k=k, n_centroids=20, nprobe=5, seed=42,
+        sample_fraction=1.0, metric="dot", queries=queries,
+    ).collect()
+    r = _recall(exact, approx, k)
+    assert r >= 0.85, f"ivf dot by-vector recall {r:.3f}"
+
+
+def test_forest_dot_persisted_roundtrip(spark, corpus, queries, tmp_path):
+    """dot forest index save -> load -> query is bit-identical to the
+    live index, and append rejects items whose norm exceeds the frozen
+    MIPS max-norm (annoy freezes the preprocess scale at build)."""
+    from pyspark.sql import functions as F
+
+    cfg = AnnIndexConfig(kind="forest", metric="dot", n_trees=8, seed=42)
+    root = str(tmp_path / "dotidx")
+    live = build_index(spark, corpus, root, cfg)
+    a = sorted(
+        live.query(queries, k=5).collect(), key=lambda r: (r.qid, r.rank)
+    )
+    reloaded = load_index(spark, root, expected=cfg)
+    b = sorted(
+        reloaded.query(queries, k=5).collect(),
+        key=lambda r: (r.qid, r.rank),
+    )
+    assert a == b
+    big = queries.select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 100.0).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max-norm"):
+        reloaded.append(big)
+
+
 def test_ann_query_stream_matches_batch(spark, corpus, queries, tmp_path):
     """Streaming serving loop (README.rst:25-27: load the shared index,
     answer lookups): an availableNow drain over a query-vector directory
@@ -314,3 +365,108 @@ def test_hamming_by_vector_exact_on_identical(spark):
     best = {r.qid: (r.nid, r.distance) for r in got if r.rank == 1}
     for i in range(5):
         assert best[10_000 + i] == (i, 0.0)
+
+
+def test_hamming_spill_levels_superset_and_bounded(spark):
+    """The bit-tree search_k analog (annoylib.h:745-756, 1447-1480):
+    spill_levels=d probes both children at splits whose subtree height is
+    <= d, so per row the key set is a SUPERSET of the no-spill keys and
+    holds at most 2^d leaves per tree."""
+    from annoy_spark.operators.forest import (
+        build_hamming_tree,
+        hamming_forest_leaf_udf,
+    )
+
+    rng = np.random.default_rng(11)
+    sig = rng.integers(-(2**62), 2**62, (300, 2)).astype(np.int64)
+    trees = [
+        build_hamming_tree(sig, seed=s, leaf_cap=8) for s in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(
+        [(i, [int(a), int(b)]) for i, (a, b) in enumerate(sig[:64])],
+        "vec_id long, sig array<long>",
+    )
+    d = 2
+    base = hamming_forest_leaf_udf(trees, spill_levels=0)
+    wide = hamming_forest_leaf_udf(trees, spill_levels=d)
+    rows = df.select(
+        "vec_id", base("sig").alias("k0"), wide("sig").alias("kd")
+    ).collect()
+    for r in rows:
+        assert set(r.k0) <= set(r.kd), "spill keys must contain base keys"
+        assert len(r.kd) <= len(trees) * (2 ** d)
+        assert len(set(r.kd)) == len(r.kd), "keys must be deduped"
+
+
+def test_hamming_spill_recall_monotone(spark):
+    """Recall on the stored hamming forest is non-decreasing in
+    spill_eps (candidate supersets): the accuracy budget is bought at
+    query time only, never by rebuilding (search_k contract)."""
+    from annoy_spark.operators.knn import knn_bruteforce
+    import tempfile
+
+    rng = np.random.default_rng(5)
+    sig = rng.integers(-(2**62), 2**62, (400, 2)).astype(np.int64)
+    items = spark.createDataFrame(
+        [(i, [int(a), int(b)]) for i, (a, b) in enumerate(sig)],
+        "vec_id long, embedding array<long>",
+    )
+    # queries = stored signatures with a few bits flipped
+    qs = spark.createDataFrame(
+        [
+            (10_000 + i, [int(a ^ 3), int(b ^ 12)])
+            for i, (a, b) in enumerate(sig[:40])
+        ],
+        "vec_id long, embedding array<long>",
+    )
+    cfg = AnnIndexConfig(
+        kind="forest", metric="hamming", n_trees=8, leaf_cap=8, seed=42,
+        max_sample=400,
+    )
+    root = tempfile.mkdtemp(prefix="hamspill_")
+    idx = build_index(spark, items, root, cfg)
+    exact = knn_bruteforce(items, qs, k=5, metric="hamming").collect()
+    recalls = []
+    for spill in (0.0, 2.0, 4.0, 7.0):
+        ap = idx.query(qs, k=5, spill_eps=spill).collect()
+        recalls.append(_recall(exact, ap, 5))
+    assert recalls == sorted(recalls), f"not monotone: {recalls}"
+    # spill 7 >= tree depth (~log2(400/8)) probes every leaf -> near-exact
+    assert recalls[-1] > 0.95, f"deep spill recall too low: {recalls}"
+    assert recalls[-1] - recalls[0] > 0.2, f"knob has no effect: {recalls}"
+
+
+def test_get_distance(spark, corpus, tmp_path):
+    """annoy get_distance (annoylib.h:1224-1226) on the loaded index:
+    user-facing normalized forms per metric (annoylib.h:512-517, 657-659,
+    862-865, 893-895) — and the raw dot product for metric='dot'."""
+    rows = {r.vec_id: np.asarray(r.embedding) for r in corpus.collect()}
+    a, b = rows[1], rows[2]
+    for metric, expected in [
+        ("angular", float(np.sqrt(max(0.0, 2.0 - 2.0 * (a @ b) /
+                                      (np.linalg.norm(a) * np.linalg.norm(b)))))),
+        ("euclidean", float(np.linalg.norm(a - b))),
+        ("manhattan", float(np.abs(a - b).sum())),
+        ("dot", float(a @ b)),
+    ]:
+        kind = "lsh" if metric == "dot" else "forest"
+        cfg = AnnIndexConfig(kind=kind, metric=metric, n_trees=4, seed=42,
+                             max_sample=500)
+        idx = build_index(
+            spark, corpus, str(tmp_path / f"gd_{metric}"), cfg
+        )
+        got = idx.get_distance(1, 2)
+        assert abs(got - expected) < 1e-9, (metric, got, expected)
+    with pytest.raises(KeyError):
+        idx.get_distance(1, 999_999)
+
+
+def test_get_distance_hamming(spark, tmp_path):
+    sigs = [(0, [5, -9]), (1, [6, -9]), (2, [5, 7])]
+    items = spark.createDataFrame(sigs, "vec_id long, embedding array<long>")
+    cfg = AnnIndexConfig(kind="lsh", metric="hamming", n_tables=2,
+                         n_bits=4, seed=42, max_sample=10)
+    idx = build_index(spark, items, str(tmp_path / "gd_ham"), cfg)
+    mask = (1 << 64) - 1  # 64-bit two's-complement popcount
+    assert idx.get_distance(0, 1) == float(bin((5 ^ 6) & mask).count("1"))
+    assert idx.get_distance(0, 2) == float(bin((-9 ^ 7) & mask).count("1"))

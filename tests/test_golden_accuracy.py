@@ -40,6 +40,8 @@ GOLDEN = {
     "forest_hamming_32t": 0.9101,
     "ivf_manhattan_32c16p": 0.8164,
     "ivf_hamming_16c8p": 0.8154,
+    "forest_dot_32t": 0.9996,
+    "ivf_dot_32c16p": 0.8560,
 }
 
 
@@ -177,6 +179,24 @@ def test_golden_forest_hamming(sim, exact_hamming):
         id_col="doc_id", vec_col="sig", sample_fraction=1.0,
     ).collect()
     _check("forest_hamming_32t", _recall(exact_hamming, ap))
+
+
+def test_golden_forest_dot(emb, exact):
+    # DotProduct trees (annoylib.h:605-703): angular forest over the
+    # MIPS-augmented space, exact -<q,n> re-rank
+    ap = knn_forest(
+        emb, k=K, n_trees=32, leaf_cap=32, seed=42, metric="dot",
+        sample_fraction=1.0, spill_eps=0.05,
+    ).collect()
+    _check("forest_dot_32t", _recall(exact["dot"], ap))
+
+
+def test_golden_ivf_dot(emb, exact):
+    ap = knn_ivf(
+        emb, k=K, n_centroids=32, nprobe=16, seed=42, metric="dot",
+        sample_fraction=1.0,
+    ).collect()
+    _check("ivf_dot_32c16p", _recall(exact["dot"], ap))
 
 
 def test_golden_ivf_hamming(sim, exact_hamming):
