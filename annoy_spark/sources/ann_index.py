@@ -395,18 +395,25 @@ def _infer_dim(items: DataFrame, vec_col: str) -> int:
     return len(row[0])
 
 
+def _routed_items(
+    items: DataFrame, model: AnnModel, id_col: str, vec_col: str
+) -> DataFrame:
+    """(nid, v, keys): every item routed once with the stored model."""
+    cfg = model.cfg
+    return items.select(
+        F.col(id_col).alias("nid"),
+        _stored_vec(cfg, vec_col).alias("v"),
+        model.keys_col(vec_col, query_side=False).alias("keys"),
+    )
+
+
 def _route_items(
     items: DataFrame, model: AnnModel, id_col: str, vec_col: str
 ) -> tuple[DataFrame, DataFrame]:
     """(item_vectors, bucketed): route every item once with the stored
     model — vectors (nid, v); bucketed (bucket, nid), unsalted (the skew
     salt is derived at query time from the live counts, see module doc)."""
-    cfg = model.cfg
-    base = items.select(
-        F.col(id_col).alias("nid"),
-        _stored_vec(cfg, vec_col).alias("v"),
-        model.keys_col(vec_col, query_side=False).alias("keys"),
-    )
+    base = _routed_items(items, model, id_col, vec_col)
     vectors = base.select("nid", "v")
     bucketed = base.select(F.explode("keys").alias("bucket"), "nid")
     return vectors, bucketed
@@ -537,6 +544,60 @@ def _query_plan(
 _MODEL_STAGE = "model"
 _NPZ = "model.npz"
 _META = "_ANNOY_SPARK_META.json"
+_STAGING = "_staging_append"
+_PENDING = "_APPEND_PENDING.json"
+
+
+def _check_pending(root: str) -> None:
+    """Refuse to load/append/query an index whose last append never
+    committed: torn artifacts (vectors without bucket rows etc.) must
+    not serve silently. repair_append either completes the staged batch
+    (publish is resumable) or rolls it back (nothing was published)."""
+    if (Path(root) / _PENDING).exists():
+        raise ValueError(
+            f"index at {root} has an UNFINISHED append (crash between "
+            "staging and commit) — run annoy_spark.sources.ann_index."
+            "repair_append(spark, root) to complete or roll back the "
+            "staged batch before loading"
+        )
+
+
+def _staging_complete(root: str) -> bool:
+    return all(
+        (Path(root) / _STAGING / s / "_SUCCESS").exists()
+        for s in ("vectors", "buckets", "counts")
+    )
+
+
+def _publish_staged(
+    spark: SparkSession, root: str, cfg: AnnIndexConfig
+) -> None:
+    """COMMIT a fully staged append batch: move the staged data files
+    into the live artifact dirs, re-stamp stage metas, recompute the
+    model meta from the published artifacts (n_items from the vectors
+    relation, has_oversized from the summed counts — both idempotent
+    under re-publish), then drop staging + the pending marker (marker
+    last: its absence IS the commit record). On Iceberg the three
+    appends + meta collapse into one transactional snapshot commit; the
+    parquet degradation gets the same all-or-repairable contract from
+    this ordering."""
+    import shutil
+
+    staging = Path(root) / _STAGING
+    store = CheckpointStore(root, cfg)
+    for stage in ("vectors", "buckets", "counts"):
+        store.publish_files(stage, staging / stage)
+        # files arrived by RENAME, which bypasses the write path's
+        # automatic recache: refresh file listings AND any cached plan
+        # fragment over this path (e.g. the build-time sizes cache),
+        # or readers keep serving the pre-append snapshot
+        spark.catalog.refreshByPath(str(Path(root) / stage))
+    counts = store.read(spark, "counts")
+    has_oversized = _oversized(counts, cfg.bucket_cap).limit(1).count() > 0
+    n_items = store.read(spark, "vectors").count()
+    _write_meta(root, cfg, has_oversized=has_oversized, n_items=n_items)
+    shutil.rmtree(staging, ignore_errors=True)
+    (Path(root) / _PENDING).unlink(missing_ok=True)
 
 
 def _meta_path(root: str) -> Path:
@@ -757,6 +818,7 @@ class AnnIndex:
                 "load_index); the ephemeral by-vector path rebuilds "
                 "per call"
             )
+        _check_pending(self._root)
         cfg = self.cfg
         if _infer_dim(items, vec_col) != cfg.dim:
             raise ValueError(
@@ -792,25 +854,48 @@ class AnnIndex:
                     "pass check_ids=False only if upstream guarantees "
                     "disjoint ids"
                 )
-        store = CheckpointStore(self._root, cfg)
-        vectors_new, bucketed_new = _route_items(
-            items, self.model, id_col, vec_col
+        spark, root = self._spark, self._root
+        store = CheckpointStore(root, cfg)
+        staging = Path(root) / _STAGING
+        if staging.exists():  # unreachable debris (marker gone => rolled
+            import shutil     # back/committed); never mix two batches
+
+            shutil.rmtree(staging)
+        # ---- stage (marker first: its presence means 'in flight') ------
+        import time as _time
+
+        (Path(root) / _PENDING).write_text(
+            json.dumps({"staging": str(staging), "written_at": _time.time()})
         )
-        store.append("vectors", vectors_new)
-        store.append("buckets", bucketed_new)
-        # count DELTA only — history is never rewritten (snapshot-append)
-        store.append("counts", _bucket_counts(bucketed_new))
-        counts = store.read(self._spark, "counts")
+        # ONE routing pass: the Arrow routing UDF lineage is materialized
+        # once into the staged 'routed' relation; vectors/buckets/counts
+        # all derive from its re-read, so a non-deterministic input can
+        # never persist counts that diverge from the bucket rows (and the
+        # UDF is not re-paid per artifact)
+        _routed_items(items, self.model, id_col, vec_col).write.parquet(
+            str(staging / "routed")
+        )
+        routed = spark.read.parquet(str(staging / "routed"))
+        routed.select("nid", "v").write.parquet(str(staging / "vectors"))
+        routed.select(
+            F.explode("keys").alias("bucket"), "nid"
+        ).write.parquet(str(staging / "buckets"))
+        # count DELTA only — history is never rewritten (snapshot-append);
+        # recounted from the staged buckets rows themselves
+        _bucket_counts(
+            spark.read.parquet(str(staging / "buckets"))
+        ).write.parquet(str(staging / "counts"))
+        # ---- commit (resumable; see _publish_staged) -------------------
+        _publish_staged(spark, root, cfg)
+        # drop the superseded cached sizes BEFORE caching its successor:
+        # both read the same counts path, so their canonical plans (and
+        # cache entries) coincide — unpersisting afterwards would evict
+        # the fresh cache too
+        self._sizes.unpersist()
+        counts = store.read(spark, "counts")
         sizes = _oversized(counts, cfg.bucket_cap).cache()
         has_oversized = sizes.count() > 0
         n_items = (self._n_items or self._vectors.count()) + n_new
-        _write_meta(
-            self._root, cfg, has_oversized=has_oversized, n_items=n_items
-        )
-        # refresh the live relations from the appended artifacts (drop the
-        # superseded cached sizes relation first — it is tiny, but a
-        # long-lived ingest loop would otherwise accrete one per batch)
-        self._sizes.unpersist()
         self._vectors = store.read(self._spark, "vectors")
         self._bucketed = store.read(self._spark, "buckets")
         self._sizes = sizes
@@ -866,6 +951,7 @@ def load_index(
     artifacts, validating the config hash — passing ``expected`` asserts
     the stored index was built under exactly that config (the geometry
     check; a mismatch raises, annoylib.h:1185-1188)."""
+    _check_pending(root)
     meta = _read_meta(root)
     cfg = AnnIndexConfig.from_json(json.dumps(meta["config"]))
     if cfg.config_hash() != meta["config_hash"]:
@@ -901,6 +987,29 @@ def load_index(
         root=root,
         n_items=meta.get("n_items"),
     )
+
+
+def repair_append(spark: SparkSession, root: str) -> "AnnIndex":
+    """Resolve an append that crashed mid-flight (the _APPEND_PENDING
+    marker is present): if the staging dirs are COMPLETE (_SUCCESS in all
+    three), the publish had begun or was about to — finish it (file moves
+    are idempotent, meta is recomputed from the published artifacts); if
+    staging is incomplete, NOTHING was published (publish only starts
+    after staging completes) — roll the batch back by dropping staging +
+    marker. Either way the index afterwards loads clean; a rolled-back
+    batch is simply re-appended by the caller/stream replay."""
+    import shutil
+
+    marker = Path(root) / _PENDING
+    if marker.exists():
+        meta = _read_meta(root)
+        cfg = AnnIndexConfig.from_json(json.dumps(meta["config"]))
+        if _staging_complete(root):
+            _publish_staged(spark, root, cfg)
+        else:
+            shutil.rmtree(Path(root) / _STAGING, ignore_errors=True)
+            marker.unlink(missing_ok=True)
+    return load_index(spark, root)
 
 
 def append_index(

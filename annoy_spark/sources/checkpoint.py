@@ -80,9 +80,14 @@ class CheckpointStore:
         append()` (one new snapshot); the parquet degradation appends
         files to the stage directory."""
         self.validate_or_raise(stage)
-        d = self._dir(stage)
-        df.write.mode("append").parquet(str(d))
-        (d / _META).write_text(
+        df.write.mode("append").parquet(str(self._dir(stage)))
+        self.restamp(stage, **extra)
+
+    def restamp(self, stage: str, **extra) -> None:
+        """Rewrite a stage's meta under the current config hash without
+        touching its data files (used when data files are PUBLISHED into
+        the stage dir by rename — the staged-append commit path)."""
+        (self._dir(stage) / _META).write_text(
             json.dumps(
                 {
                     "stage": stage,
@@ -94,6 +99,24 @@ class CheckpointStore:
                 sort_keys=True,
             )
         )
+
+    def publish_files(self, stage: str, staged_dir) -> None:
+        """Move every DATA file from ``staged_dir`` into the live stage
+        dir and re-stamp the meta. Renames within one filesystem are
+        cheap metadata ops; files already moved are skipped, so a
+        crashed publish is completed by calling this again (on Iceberg
+        the whole batch is instead one transactional snapshot commit)."""
+        import shutil
+        from pathlib import Path as _P
+
+        dst = self._dir(stage)
+        for f in sorted(_P(staged_dir).iterdir()):
+            if f.name.startswith(("_", ".")):
+                continue  # _SUCCESS / .crc markers never publish
+            target = dst / f.name
+            if not target.exists():
+                shutil.move(str(f), str(target))
+        self.restamp(stage)
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         self.validate_or_raise(stage)

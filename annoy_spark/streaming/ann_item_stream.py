@@ -15,11 +15,17 @@ Restart safety: Structured Streaming's checkpoint makes the SOURCE
 exactly-once, but foreachBatch can re-run the last batch after a crash.
 Appends are not idempotent (they add rows), so a per-checkpoint ledger
 file under the index root records the last applied batch id and replays
-are skipped. If a crash lands between the artifact append and the ledger
-write, the replay fails LOUDLY on the stored-id collision check
-(check_ids) instead of silently double-inserting — on Iceberg the
-artifact appends and the ledger update collapse into one transactional
-snapshot commit.
+are skipped. The ledger key includes the checkpoint's QUERY ID (read
+from the checkpoint dir's metadata file): a deleted-and-recreated
+checkpoint dir restarts batch ids at 0 under a FRESH query id, so the
+new run's early batches are never mistaken for already-applied replays
+of the old run — re-delivered rows instead fail loudly on the stored-id
+collision check (check_ids). A crash inside append itself leaves the
+_APPEND_PENDING marker; stream start repairs it (repair_append: the
+staged batch is completed or rolled back), after which the ledger
+decides — completed-but-unledgered replays collide loudly, rolled-back
+batches replay cleanly. On Iceberg the artifact appends and the ledger
+update collapse into one transactional snapshot commit.
 """
 
 from __future__ import annotations
@@ -31,7 +37,12 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from annoy_spark.sources.ann_index import AnnIndex, load_index
+from annoy_spark.sources.ann_index import (
+    AnnIndex,
+    _PENDING,
+    load_index,
+    repair_append,
+)
 
 ITEM_SCHEMA = "vec_id long, embedding array<double>"
 
@@ -50,24 +61,42 @@ def ann_item_stream(
     """Append every item vector landing under input_dir to the index
     persisted at index_root (for hamming indexes pass an array<long>
     item_schema)."""
-    idx: AnnIndex = load_index(spark, index_root)
+    if (Path(index_root) / _PENDING).exists():
+        # last run crashed inside append: complete or roll back the
+        # staged batch before ingesting more (see module doc)
+        idx: AnnIndex = repair_append(spark, index_root)
+    else:
+        idx = load_index(spark, index_root)
     ledger = Path(index_root) / "_ITEM_STREAM_BATCHES.json"
-    ck_key = hashlib.sha256(str(checkpoint_dir).encode()).hexdigest()[:16]
 
-    def _applied() -> int:
+    def _ck_key() -> str:
+        # the checkpoint metadata file holds the streaming query id,
+        # written at first start and stable across restarts of the SAME
+        # checkpoint; a recreated checkpoint dir mints a new id, giving
+        # its batch-id sequence a fresh ledger slot
+        run = ""
+        meta = Path(checkpoint_dir) / "metadata"
+        if meta.exists():
+            run = json.loads(meta.read_text()).get("id", "")
+        return hashlib.sha256(
+            f"{checkpoint_dir}\n{run}".encode()
+        ).hexdigest()[:16]
+
+    def _applied(key: str) -> int:
         if ledger.exists():
-            return int(json.loads(ledger.read_text()).get(ck_key, -1))
+            return int(json.loads(ledger.read_text()).get(key, -1))
         return -1
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        if batch_id <= _applied():
+        key = _ck_key()
+        if batch_id <= _applied(key):
             return  # replayed batch whose append already committed
         if batch.isEmpty():
             return
         idx.append(batch, id_col=id_col, vec_col=vec_col,
                    check_ids=check_ids)
         data = json.loads(ledger.read_text()) if ledger.exists() else {}
-        data[ck_key] = batch_id
+        data[key] = batch_id
         ledger.write_text(json.dumps(data, sort_keys=True))
 
     stream = spark.readStream.schema(item_schema).parquet(input_dir)

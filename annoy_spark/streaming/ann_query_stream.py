@@ -44,30 +44,41 @@ def ann_query_stream(
     vec_col: str = "embedding",
     query_schema: str = QUERY_SCHEMA,
     available_now: bool = True,
+    max_files_per_trigger: int | None = 64,
 ) -> StreamingQuery:
     """Serve (qid, nid, rank, distance) for every query vector landing
     under input_dir, from the index persisted at index_root.
 
     Idempotent per micro-batch: a replayed batch overwrites its own
     partition directory, so the sink stays exactly-once under restarts.
+
+    max_files_per_trigger bounds how much backlog one micro-batch drains
+    (availableNow would otherwise take EVERYTHING in one batch after
+    downtime); per-batch plan choice is still probed (small_queries=None)
+    so a batch past SMALL_QUERY_MAX degrades to the shuffle serving plan
+    instead of forcing an oversized broadcast. Pass None to unbound the
+    reader (e.g. a trusted low-rate source).
     """
     idx: AnnIndex = load_index(spark, index_root)
 
     def answer_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        # micro-batches are online-lookup-sized by construction: pin the
-        # broadcast serving plan instead of paying a size-probe job per
-        # batch (batch query() probes when the caller doesn't say)
+        # probe each batch's size (one cheap limit-count): steady-state
+        # online batches broadcast, a catch-up batch past SMALL_QUERY_MAX
+        # falls back to shuffle equi-joins rather than a broadcast OOM
         result = idx.query(
             batch, k=k, id_col=id_col, vec_col=vec_col,
-            spill_eps=spill_eps, small_queries=True,
+            spill_eps=spill_eps, small_queries=None,
         )
         result.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
         )
 
-    stream = spark.readStream.schema(query_schema).parquet(input_dir)
+    reader = spark.readStream.schema(query_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     writer = (
         stream.writeStream.foreachBatch(answer_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -15,12 +15,15 @@
         serve --root <dir> --input <stream dir> --output <sink dir> \
               --checkpoint <ck dir> --k 10 [--spill-eps 0.1] [--continuous]
 
-The three subcommands are annoy's lifecycle verbs (build+save / load+query
-/ load+serve, /root/reference/src/annoylib.h:1037-1236, README.rst:25-27)
-as cluster jobs: `build` trains the router and persists model + bucket
-artifacts; `query` answers one batch of vectors from the stored index;
-`serve` keeps answering vector files as they land (Structured Streaming;
---continuous leaves the query running instead of draining availableNow).
+The subcommands are annoy's lifecycle verbs (build+save / unbuild+add+
+build / load+query / load+serve, /root/reference/src/annoylib.h:1037-1236,
+README.rst:25-27) as cluster jobs: `build` trains the router and persists
+model + bucket artifacts; `append` grows a stored index with the frozen
+router; `repair` resolves an append that crashed mid-commit (completes a
+fully-staged batch or rolls back an unstaged one); `query` answers one
+batch of vectors from the stored index; `serve` keeps answering vector
+files as they land (Structured Streaming; --continuous leaves the query
+running instead of draining availableNow).
 """
 
 from __future__ import annotations
@@ -78,6 +81,13 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--no-check-ids", action="store_true",
                    help="skip the stored-id collision anti-join")
 
+    r = sub.add_parser(
+        "repair",
+        help="resolve an append that crashed mid-flight: complete a "
+             "fully-staged batch or roll back an unstaged one",
+    )
+    r.add_argument("--root", required=True)
+
     q = sub.add_parser("query")
     q.add_argument("--root", required=True)
     q.add_argument("--queries", required=True)
@@ -104,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
         append_index,
         build_index,
         load_index,
+        repair_append,
     )
 
     spark = get_spark(f"annoy_spark_index_{args.cmd}")
@@ -134,6 +145,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({
             "appended": args.root,
+            "n_items": idx.n_items(),
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.cmd == "repair":
+        idx = repair_append(spark, args.root)
+        print(json.dumps({
+            "repaired": args.root,
             "n_items": idx.n_items(),
             "wall_sec": round(time.time() - t0, 2),
         }))

@@ -317,3 +317,129 @@ def test_item_stream_restart_safe(spark, corpus, queries, tmp_path):
     assert {r.nid for r in got} & {
         r.vec_id for r in wave2.select("vec_id").collect()
     }
+
+
+def test_append_counts_consistent_with_buckets(spark, corpus, tmp_path):
+    """The counts artifact must agree row-for-row with the buckets it
+    summarizes even across appends (counts are recounted from the STAGED
+    bucket rows, never from a re-run of the routing UDF lineage), and
+    meta n_items must match the vectors relation."""
+    from annoy_spark.sources.checkpoint import CheckpointStore
+
+    cfg = AnnIndexConfig(kind="forest", metric="angular", n_trees=8,
+                         seed=42, sample_fraction=1.0)
+    root = str(tmp_path / "idx")
+    half = corpus.where(F.col("vec_id") < 200)
+    rest = corpus.where(F.col("vec_id") >= 200)
+    idx = build_index(spark, half, root, cfg)
+    idx.append(rest)
+    store = CheckpointStore(root, idx.cfg)
+    buckets = store.read(spark, "buckets")
+    counts = store.read(spark, "counts")
+    assert (
+        counts.agg(F.sum("gsize").alias("s")).first()["s"]
+        == buckets.count()
+    )
+    reloaded = load_index(spark, root)
+    assert reloaded.n_items() == 400
+    assert store.read(spark, "vectors").count() == 400
+
+
+def test_torn_append_detected_and_rolled_back(spark, corpus, tmp_path):
+    """A pending marker without complete staging = a crash BEFORE any
+    artifact was published: load refuses loudly, repair_append rolls the
+    batch back, and the index is unchanged."""
+    from pathlib import Path
+
+    from annoy_spark.sources.ann_index import _PENDING, repair_append
+
+    cfg = AnnIndexConfig(kind="forest", metric="angular", n_trees=4,
+                         seed=42, sample_fraction=1.0)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, cfg)
+    (Path(root) / _PENDING).write_text("{}")
+    with pytest.raises(ValueError, match="UNFINISHED"):
+        load_index(spark, root)
+    idx = repair_append(spark, root)
+    assert idx.n_items() == 400
+    assert not (Path(root) / _PENDING).exists()
+
+
+def test_staged_append_repair_completes(spark, corpus, queries, tmp_path):
+    """A crash AFTER staging completed but before/inside the publish is
+    COMPLETED by repair_append (file moves are idempotent): the staged
+    batch becomes visible exactly once and the repaired index answers
+    queries with the appended items."""
+    from pathlib import Path
+
+    from annoy_spark.sources.ann_index import (
+        _PENDING,
+        _STAGING,
+        _bucket_counts,
+        _routed_items,
+        repair_append,
+    )
+
+    cfg = AnnIndexConfig(kind="forest", metric="angular", n_trees=8,
+                         seed=42, sample_fraction=1.0)
+    root = str(tmp_path / "idx")
+    half = corpus.where(F.col("vec_id") < 200)
+    rest = corpus.where(F.col("vec_id") >= 200)
+    idx = build_index(spark, half, root, cfg)
+
+    # simulate append crashing right before the publish step: staging
+    # fully written + marker present, nothing published
+    staging = Path(root) / _STAGING
+    routed = _routed_items(rest, idx.model, "vec_id", "embedding")
+    routed.write.parquet(str(staging / "routed"))
+    stored = spark.read.parquet(str(staging / "routed"))
+    stored.select("nid", "v").write.parquet(str(staging / "vectors"))
+    stored.select(
+        F.explode("keys").alias("bucket"), "nid"
+    ).write.parquet(str(staging / "buckets"))
+    _bucket_counts(
+        spark.read.parquet(str(staging / "buckets"))
+    ).write.parquet(str(staging / "counts"))
+    (Path(root) / _PENDING).write_text("{}")
+
+    with pytest.raises(ValueError, match="UNFINISHED"):
+        load_index(spark, root)
+    repaired = repair_append(spark, root)
+    assert repaired.n_items() == 400
+    assert not (Path(root) / _PENDING).exists()
+    assert not staging.exists()
+    # repair is idempotent: a second call is a no-op load
+    assert repair_append(spark, root).n_items() == 400
+    got = repaired.query(queries, k=10, spill_eps=0.15).collect()
+    appended_ids = {r.vec_id for r in rest.select("vec_id").collect()}
+    assert {r.nid for r in got} & appended_ids
+
+
+def test_item_stream_recreated_checkpoint_fails_loudly(
+    spark, corpus, tmp_path
+):
+    """Deleting and recreating the streaming checkpoint dir restarts
+    batch ids at 0 under a FRESH query id — the ledger (keyed on that
+    id) must NOT mistake the new run's batches for applied replays and
+    silently ingest nothing; the re-delivered rows hit the stored-id
+    collision check instead."""
+    from annoy_spark.streaming.ann_item_stream import ann_item_stream
+    import shutil
+
+    cfg = AnnIndexConfig(kind="forest", metric="angular", n_trees=4,
+                         seed=42, sample_fraction=1.0)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus.where(F.col("vec_id") < 200), root, cfg)
+    inp, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    corpus.where(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 250)
+    ).write.mode("append").parquet(inp)
+    assert ann_item_stream(spark, root, inp, ck).awaitTermination(300)
+    assert load_index(spark, root).n_items() == 250
+
+    shutil.rmtree(ck)
+    q = ann_item_stream(spark, root, inp, ck)
+    with pytest.raises(Exception, match="collide"):
+        q.awaitTermination(300)
+    # nothing was double-ingested
+    assert load_index(spark, root).n_items() == 250

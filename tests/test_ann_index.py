@@ -330,6 +330,8 @@ def test_submit_index_cli(spark, corpus, queries, tmp_path):
         (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
     ).write.parquet(more)
     assert main(["append", "--items", more, "--root", root]) == 0
+    # repair on a clean index is a no-op load
+    assert main(["repair", "--root", root]) == 0
     assert main(["query", "--root", root, "--queries", qsrc,
                  "--output", out, "--k", "5"]) == 0
     res = spark.read.parquet(out)

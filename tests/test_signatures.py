@@ -31,6 +31,7 @@ def _naive_minhash(hashes: list[int], a: np.ndarray, b: np.ndarray) -> list[int]
     return out
 
 
+@np.errstate(over="ignore")  # uint64 wraparound is the hash-mixing intent
 def _naive_simhash(hashes: list[int], bits: int, seed: int) -> list[int]:
     rng = np.random.default_rng([seed, 0x51AA])
     words = bits // 64
@@ -50,8 +51,8 @@ def _naive_simhash(hashes: list[int], bits: int, seed: int) -> list[int]:
         for j in range(64):
             if 2 * counts[j] > len(hashes):
                 word |= np.uint64(1) << np.uint64(j)
-        out.append(int(word.view(np.int64) if hasattr(word, "view") else word))
-    return [int(np.uint64(w).astype(np.int64)) for w in np.array(out, dtype=np.uint64)]
+        out.append(int(word))  # keep unsigned; view back to int64 once
+    return [int(x) for x in np.array(out, dtype=np.uint64).view(np.int64)]
 
 
 @pytest.fixture(scope="module")
