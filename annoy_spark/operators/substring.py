@@ -39,7 +39,9 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import (ArrayType, LongType, StructField, StructType)
+from pyspark.sql.types import (
+    ArrayType, BinaryType, LongType, StructField, StructType,
+)
 
 from annoy_spark.config import DedupConfig
 
@@ -181,6 +183,7 @@ def make_fingerprint_udf(cfg: DedupConfig):
 
 
 _EXTEND_SCHEMA = "u long, v long, match_len long"
+_SLICED_SCHEMA = "u long, v long, match_len long, capped boolean"
 
 # Window schedule: most anchors mismatch within a few bytes (failed
 # candidates), so the FIRST window is tiny — the per-anchor cost is
@@ -312,6 +315,192 @@ def make_extend_verifier(cfg: DedupConfig):
     return verify_batch
 
 
+# Content slicing: the extension verifier only ever compares bytes near an
+# anchor, so the pair join ships merged [pos - margin, pos + chunk + margin)
+# byte windows instead of whole files — shuffled/Arrow bytes then scale with
+# anchor count, not file size. A match longer than the window is detected
+# (the scan runs into a slice edge that is not a file edge), flagged
+# `capped`, and re-verified on full content, so match_len stays the TRUE
+# maximal length. Margin defaults to 2*min_substring_len: a capped anchor
+# then implies a real match >= ~2x the report threshold, which is rare, so
+# the escalation pass touches only genuinely-long-match pairs.
+_SLICE_FULL_FILE_FRAC = 0.8  # merged windows >= this fraction -> whole file
+
+
+def make_slicer_udf(margin: int, chunk: int):
+    """(file_id, content, ps) -> (file_id, flen, slices) where slices are
+    merged disjoint byte windows around the file's anchor positions, each
+    (start, bytes) over the utf-8 buffer (anchor positions are byte
+    offsets into that buffer, matching fingerprint_positions)."""
+    schema = StructType(
+        [
+            StructField("file_id", LongType()),
+            StructField("flen", LongType()),
+            StructField(
+                "slices",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("start", LongType()),
+                            StructField("bytes", BinaryType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def slice_batches(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids, flens, slices = [], [], []
+            for fid, content, ps in zip(
+                pdf["file_id"], pdf["content"], pdf["ps"]
+            ):
+                data = (content or "").encode("utf-8")
+                fl = len(data)
+                p = np.unique(np.asarray(list(ps), dtype=np.int64))
+                p = p[(p >= 0) & (p < fl)]
+                lo = np.maximum(p - margin, 0)
+                hi = np.minimum(p + chunk + margin, fl)
+                # merge overlapping windows (lo sorted): a new interval
+                # starts where lo exceeds the running max of hi
+                if len(p):
+                    runhi = np.maximum.accumulate(hi)
+                    brk = np.flatnonzero(lo[1:] > runhi[:-1]) + 1
+                    starts = lo[np.concatenate(([0], brk))]
+                    ends = runhi[np.concatenate((brk - 1, [len(p) - 1]))]
+                else:
+                    starts = ends = np.empty(0, dtype=np.int64)
+                if int((ends - starts).sum()) >= _SLICE_FULL_FILE_FRAC * fl:
+                    out = [{"start": 0, "bytes": data}]
+                else:
+                    out = [
+                        {"start": int(s), "bytes": data[int(s) : int(e)]}
+                        for s, e in zip(starts, ends)
+                    ]
+                ids.append(fid)
+                flens.append(fl)
+                slices.append(out)
+            yield pd.DataFrame(
+                {"file_id": ids, "flen": flens, "slices": slices}
+            )
+
+    return slice_batches, schema
+
+
+def _flatten_slices(col: pd.Series):
+    """Concatenate a batch's slice arrays into one flat byte buffer.
+
+    Returns (keys, slens, offs, flat, srow): `keys` is the per-slice
+    row-qualified start (row * 2^41 + start) so ONE searchsorted maps any
+    (row, pos) anchor to its slice; offs[j] is slice j's offset in `flat`;
+    srow bounds each row's slice-index range."""
+    n_slices = np.fromiter((len(x) for x in col), np.int64, len(col))
+    bufs = [np.frombuffer(s["bytes"], dtype=np.uint8) for x in col for s in x]
+    total = int(n_slices.sum())
+    if total:
+        starts = np.fromiter(
+            (s["start"] for x in col for s in x), np.int64, total
+        )
+        slens = np.fromiter((len(b) for b in bufs), np.int64, total)
+        flat = np.concatenate(bufs) if slens.sum() else np.zeros(1, np.uint8)
+        offs = np.concatenate(([0], np.cumsum(slens)[:-1]))
+    else:
+        starts = slens = offs = np.empty(0, np.int64)
+        flat = np.zeros(1, np.uint8)
+    srow = np.concatenate(([0], np.cumsum(n_slices)))
+    row_of_slice = np.repeat(np.arange(len(col), dtype=np.int64), n_slices)
+    keys = row_of_slice * _ROW_KEY + starts
+    return keys, starts, slens, offs, flat, srow
+
+
+_ROW_KEY = np.int64(1) << np.int64(41)  # > any byte offset in one file
+
+
+def make_sliced_verifier(cfg: DedupConfig):
+    """Sparse-buffer twin of make_extend_verifier: anchors resolve into the
+    pair's pruned slice windows; an extension that exhausts a slice edge
+    short of the file edge marks the pair `capped` for full-content
+    re-verification (exactness contract, annoylib.h:1492-1494)."""
+    min_len = cfg.min_substring_len
+
+    def verify_batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    columns=["u", "v", "match_len", "capped"]
+                )
+                continue
+            ka, sa, la, oa, ca, _ = _flatten_slices(pdf["slices_u"])
+            kb, sb, lb, ob, cb, _ = _flatten_slices(pdf["slices_v"])
+            fla = pdf["flen_u"].to_numpy(np.int64)
+            flb = pdf["flen_v"].to_numpy(np.int64)
+
+            n_anc = np.fromiter(
+                (len(x) for x in pdf["pos_u"]), np.int64, len(pdf)
+            )
+            row = np.repeat(np.arange(len(pdf), dtype=np.int64), n_anc)
+            pu = (
+                np.concatenate(list(pdf["pos_u"])).astype(np.int64)
+                if n_anc.sum() else np.empty(0, np.int64)
+            )
+            pv = (
+                np.concatenate(list(pdf["pos_v"])).astype(np.int64)
+                if n_anc.sum() else np.empty(0, np.int64)
+            )
+            ok = (pu < fla[row]) & (pv < flb[row])
+            row, pu, pv = row[ok], pu[ok], pv[ok]
+
+            # anchor -> containing slice via the row-qualified start keys
+            ja = np.searchsorted(ka, row * _ROW_KEY + pu, side="right") - 1
+            jb = np.searchsorted(kb, row * _ROW_KEY + pv, side="right") - 1
+            ok = (
+                (ja >= 0) & (jb >= 0)
+                & (pu < sa[ja.clip(0)] + la[ja.clip(0)])
+                & (pu >= sa[ja.clip(0)])
+                & (pv < sb[jb.clip(0)] + lb[jb.clip(0)])
+                & (pv >= sb[jb.clip(0)])
+            )
+            row, pu, pv, ja, jb = row[ok], pu[ok], pv[ok], ja[ok], jb[ok]
+
+            rs_u = sa[ja] + la[ja] - pu          # bytes right of anchor, slice
+            rs_v = sb[jb] + lb[jb] - pv
+            rf = np.minimum(fla[row] - pu, flb[row] - pv)   # ... file
+            avail_r = np.minimum(rs_u, rs_v)
+            ls_u = pu - sa[ja]
+            ls_v = pv - sb[jb]
+            lf = np.minimum(pu, pv)
+            avail_l = np.minimum(ls_u, ls_v)
+
+            right = _batch_extend(
+                ca, cb, oa[ja] + ls_u, ob[jb] + ls_v, avail_r,
+                backwards=False,
+            )
+            left = _batch_extend(
+                ca, cb, oa[ja] + ls_u - 1, ob[jb] + ls_v - 1, avail_l,
+                backwards=True,
+            )
+            capped = ((right == avail_r) & (avail_r < rf)) | (
+                (left == avail_l) & (avail_l < lf)
+            )
+            total = left + right
+            best = np.zeros(len(pdf), dtype=np.int64)
+            np.maximum.at(best, row, total)
+            cap_any = np.zeros(len(pdf), dtype=bool)
+            np.logical_or.at(cap_any, row, capped)
+            keep = cap_any | (best >= min_len)
+            yield pd.DataFrame(
+                {
+                    "u": pdf["u"].to_numpy()[keep],
+                    "v": pdf["v"].to_numpy()[keep],
+                    "match_len": best[keep],
+                    "capped": cap_any[keep],
+                }
+            )
+
+    return verify_batch
+
+
 # broadcast the anchored pair set only while it stays comfortably in
 # memory: rows are (u, v, <=8+8 positions) ~ 150 B -> 500k ~ 75 MB
 PAIR_BROADCAST_CAP = 500_000
@@ -322,6 +511,7 @@ def substring_edges(
     cfg: DedupConfig,
     broadcast_pairs: bool | None = None,
     return_skipped: bool = False,
+    slice_margin: int | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """(u, v, match_len) pairs sharing a verbatim block >= min_substring_len.
 
@@ -495,6 +685,25 @@ def substring_edges(
     fps.unpersist()
 
     content = corpus_with_ids.select("file_id", "content")
+    if slice_margin is None:
+        slice_margin = 2 * cfg.min_substring_len
+    if slice_margin <= 0:
+        edges = _full_content_verify(anchored, content, cfg, broadcast_pairs)
+    else:
+        edges = _sliced_verify(
+            anchored, content, cfg, broadcast_pairs, slice_margin
+        )
+    return (edges, skipped) if return_skipped else edges
+
+
+def _full_content_verify(
+    anchored: DataFrame,
+    content: DataFrame,
+    cfg: DedupConfig,
+    broadcast_pairs: bool,
+) -> DataFrame:
+    """Exact anchored extension over whole-file contents — the escalation
+    path for slice-capped pairs (and the slicing-off fallback)."""
     if broadcast_pairs:
         # u side: broadcast the anchored pair set (ids + positions only)
         # into a streamed content scan — no shuffle, no content broadcast.
@@ -516,5 +725,92 @@ def substring_edges(
         joined = content.select(
             F.col("file_id").alias("v"), F.col("content").alias("content_v")
         ).join(j1, "v")
-    edges = joined.mapInPandas(make_extend_verifier(cfg), schema=_EXTEND_SCHEMA)
-    return (edges, skipped) if return_skipped else edges
+    return joined.mapInPandas(make_extend_verifier(cfg), schema=_EXTEND_SCHEMA)
+
+
+def _prune_slices(slices_col: str, pos_col: str):
+    """Keep only the slices containing THIS pair's anchors (JVM-side, no
+    Python): a file in many pairs carries the union of all its anchors'
+    windows; per pair only its own windows matter."""
+    return F.filter(
+        F.col(slices_col),
+        lambda s: F.exists(
+            F.col(pos_col),
+            lambda p: (p >= s["start"])
+            & (p < s["start"] + F.length(s["bytes"])),
+        ),
+    )
+
+
+def _sliced_verify(
+    anchored: DataFrame,
+    content: DataFrame,
+    cfg: DedupConfig,
+    broadcast_pairs: bool,
+    margin: int,
+) -> DataFrame:
+    """Anchored extension over per-file anchor-window slices.
+
+    One content scan builds merged byte windows around every anchor of every
+    candidate file (both pair roles); the pair join then ships slices, so
+    exchanged bytes scale with anchors (O(pairs * margin)) instead of file
+    sizes — at 100 TB the difference between shuffling the corpus subset
+    and shuffling a few KB per candidate pair. Pairs whose extension hits a
+    window edge short of the file edge (true match >= ~2x min_substring_len)
+    are re-verified on full content, so results are bit-identical to the
+    full-content path."""
+    per_file = (
+        anchored.select(F.col("u").alias("file_id"), F.col("pos_u").alias("ps"))
+        .unionByName(
+            anchored.select(
+                F.col("v").alias("file_id"), F.col("pos_v").alias("ps")
+            )
+        )
+        .select("file_id", F.explode("ps").alias("p"))
+        .groupBy("file_id")
+        .agg(F.collect_set("p").alias("ps"))
+    )
+    slicer, slice_schema = make_slicer_udf(margin, cfg.substring_chunk)
+    if broadcast_pairs:
+        sl_in = content.join(F.broadcast(per_file), "file_id")
+    else:
+        sl_in = content.join(per_file, "file_id")
+    # one content scan; both pair roles consume the (much smaller) result
+    slices_df = sl_in.mapInPandas(slicer, schema=slice_schema).persist()
+
+    ju = slices_df.select(
+        F.col("file_id").alias("u"),
+        F.col("flen").alias("flen_u"),
+        F.col("slices").alias("slices_u"),
+    )
+    jv = slices_df.select(
+        F.col("file_id").alias("v"),
+        F.col("flen").alias("flen_v"),
+        F.col("slices").alias("slices_v"),
+    )
+    pair_side = F.broadcast(anchored) if broadcast_pairs else anchored
+    joined = (
+        ju.join(pair_side, "u")
+        # prune BEFORE the v-side shuffle so exchanged u-bytes are this
+        # pair's windows only; v slices shuffle per-file (pre-join), so
+        # pruning them after the join only trims the Arrow transfer
+        .withColumn("slices_u", _prune_slices("slices_u", "pos_u"))
+        .join(jv, "v")
+        .withColumn("slices_v", _prune_slices("slices_v", "pos_v"))
+    )
+    sliced = joined.mapInPandas(
+        make_sliced_verifier(cfg), schema=_SLICED_SCHEMA
+    ).localCheckpoint(eager=True)
+    slices_df.unpersist()
+
+    final = sliced.where(
+        (~F.col("capped")) & (F.col("match_len") >= cfg.min_substring_len)
+    ).select("u", "v", "match_len")
+    esc = sliced.where("capped").select("u", "v")
+    if esc.isEmpty():
+        return final
+    esc_anchored = anchored.join(F.broadcast(esc), ["u", "v"])
+    esc_edges = _full_content_verify(
+        esc_anchored, content, cfg, broadcast_pairs=True
+    )
+    return final.unionByName(esc_edges)

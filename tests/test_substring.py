@@ -93,6 +93,44 @@ def test_substring_edges_end_to_end(spark, sub_corpus):
     assert all({u, v} == {1, 2} for (u, v) in pairs), pairs
 
 
+@pytest.fixture(scope="module")
+def long_corpus(spark):
+    """Matches both inside and beyond the default slice margin, so the
+    sliced verifier's capped-pair escalation path actually fires."""
+    rng = np.random.default_rng(23)
+
+    def text(n):
+        return " ".join(f"tk{v}" for v in rng.integers(0, 3000, size=n))
+
+    base = text(2000)  # ~11 KB
+    rows = [
+        (1, base),
+        (2, text(100) + " " + base[:9000] + " " + text(400)),   # LONG match
+        (3, text(300) + " " + base[4000:6600] + " " + text(200)),  # ~2.6 KB
+        (4, text(900)),                                          # unrelated
+        (5, text(80) + base[:900] + text(60)),                   # sub-threshold
+    ]
+    return spark.createDataFrame(rows, "file_id long, content string")
+
+
+def test_sliced_equals_full_content(spark, long_corpus):
+    """The anchor-window sliced path (default margin AND a margin far below
+    every true match, forcing escalation of every pair) is bit-identical to
+    whole-file extension."""
+    full = {(r.u, r.v, r.match_len)
+            for r in substring_edges(long_corpus, CFG, slice_margin=0).collect()}
+    assert any(ml >= 8500 for (_, _, ml) in full), full
+    assert any(CFG.min_substring_len <= ml < 4000 for (_, _, ml) in full), full
+    for margin in (None, 500):
+        sliced = {
+            (r.u, r.v, r.match_len)
+            for r in substring_edges(
+                long_corpus, CFG, slice_margin=margin
+            ).collect()
+        }
+        assert sliced == full, (margin, sliced ^ full)
+
+
 def test_substring_deterministic_across_partitioning(spark, sub_corpus):
     a = {(r.u, r.v, r.match_len)
          for r in substring_edges(sub_corpus.repartition(1), CFG).collect()}
