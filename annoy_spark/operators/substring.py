@@ -686,7 +686,7 @@ def substring_edges(
 
     content = corpus_with_ids.select("file_id", "content")
     if slice_margin is None:
-        slice_margin = 2 * cfg.min_substring_len
+        slice_margin = adaptive_slice_margin(content, cfg)
     if slice_margin <= 0:
         edges = _full_content_verify(anchored, content, cfg, broadcast_pairs)
     else:
@@ -694,6 +694,24 @@ def substring_edges(
             anchored, content, cfg, broadcast_pairs, slice_margin
         )
     return (edges, skipped) if return_skipped else edges
+
+
+def adaptive_slice_margin(content: DataFrame, cfg: DedupConfig) -> int:
+    """Default slicing decision: slicing trades ONE extra content scan (the
+    slicer) for pair-join bytes bounded by anchor windows (~2*margin each
+    side). That only pays when files are much larger than the windows; for
+    small-file corpora the merged windows ARE the whole file and the extra
+    scan is pure overhead. A bounded sample of file lengths decides (one
+    small job; `limit` stops the scan after the first partitions)."""
+    margin = 2 * cfg.min_substring_len
+    break_even = 4 * (2 * margin + cfg.substring_chunk)
+    avg_len = (
+        content.select(F.length("content").alias("n"))
+        .limit(20_000)
+        .agg(F.avg("n"))
+        .collect()[0][0]
+    )
+    return margin if (avg_len or 0) > break_even else 0
 
 
 def _full_content_verify(

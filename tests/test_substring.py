@@ -4,9 +4,11 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from annoy_spark.config import DedupConfig
 from annoy_spark.operators.substring import (
+    adaptive_slice_margin,
     fingerprint_positions,
     rolling_gram_hashes,
     substring_edges,
@@ -114,14 +116,14 @@ def long_corpus(spark):
 
 
 def test_sliced_equals_full_content(spark, long_corpus):
-    """The anchor-window sliced path (default margin AND a margin far below
-    every true match, forcing escalation of every pair) is bit-identical to
-    whole-file extension."""
+    """The anchor-window sliced path (the default margin AND a margin far
+    below every true match, forcing escalation of every pair) is
+    bit-identical to whole-file extension."""
     full = {(r.u, r.v, r.match_len)
             for r in substring_edges(long_corpus, CFG, slice_margin=0).collect()}
     assert any(ml >= 8500 for (_, _, ml) in full), full
     assert any(CFG.min_substring_len <= ml < 4000 for (_, _, ml) in full), full
-    for margin in (None, 500):
+    for margin in (2 * CFG.min_substring_len, 500):
         sliced = {
             (r.u, r.v, r.match_len)
             for r in substring_edges(
@@ -129,6 +131,18 @@ def test_sliced_equals_full_content(spark, long_corpus):
             ).collect()
         }
         assert sliced == full, (margin, sliced ^ full)
+
+
+def test_adaptive_slice_margin(spark, long_corpus):
+    """Small-file corpora take the full-content path (slicing's extra scan
+    is pure overhead when merged windows cover the whole file); corpora of
+    genuinely large files get the anchor-window margin."""
+    assert adaptive_slice_margin(long_corpus, CFG) == 0  # ~11 KB files
+    big = long_corpus.select(
+        "file_id",
+        F.concat_ws(" ", F.array_repeat("content", 8)).alias("content"),
+    )  # ~90 KB >> break-even (~32 KB)
+    assert adaptive_slice_margin(big, CFG) == 2 * CFG.min_substring_len
 
 
 def test_substring_deterministic_across_partitioning(spark, sub_corpus):
