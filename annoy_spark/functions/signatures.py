@@ -96,6 +96,7 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+@np.errstate(over="ignore")  # uint64 wraparound is the hash-mixing intent
 def shingle_hash_batch(
     tok_hashes: pd.Series, k: int, seed: int
 ) -> tuple[list[np.ndarray], np.ndarray]:

@@ -10,8 +10,9 @@ mixed semantics).
 On a production cluster these writes target Iceberg tables
 (`df.writeTo(tbl).createOrReplace()` + snapshot ids); this store degrades
 to plain parquet directories because the sandbox has no Iceberg catalog —
-the resume/validation protocol is identical. Iceberg is attempted first
-when a catalog is configured.
+the resume/validation protocol is identical. The Iceberg data plane is
+wired for real in sources/iceberg_store.py (same API, catalog-probed,
+used when a configured catalog is available).
 """
 
 from __future__ import annotations
