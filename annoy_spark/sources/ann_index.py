@@ -669,6 +669,12 @@ class AnnIndex:
             self._n_items = self._vectors.count()
         return self._n_items
 
+    def get_f(self) -> int:
+        """annoy ``get_f`` (annoylib.h:978-980): the indexed vector
+        dimension (pre-augmentation for metric='dot' — annoy likewise
+        reports the user's f, not f+1)."""
+        return self.cfg.dim
+
     def n_trees(self) -> int:
         """get_n_trees analog (annoylib.h:1250-1254): routing structures
         in the stored model — trees for the forest kind, centroids for

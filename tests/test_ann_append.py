@@ -159,6 +159,7 @@ def test_introspection(spark, corpus, tmp_path):
     assert idx.n_items() == corpus.count()
     assert idx.n_trees() == 4
     assert idx.n_buckets() > 0
+    assert idx.get_f() == idx.cfg.dim > 0
     v = idx.get_item_vector(0)
     # angular stores the unit vector
     assert abs(sum(x * x for x in v) - 1.0) < 1e-9
