@@ -82,9 +82,20 @@ def collect_training_sample(
         )
     rows = cand.orderBy("h", "i").limit(max_sample).collect()
     rows.sort(key=lambda r: r.i)
-    return np.asarray(
-        [r.v for r in rows], dtype=np.int64 if as_longs else np.float64
-    )
+    try:
+        return np.asarray(
+            [r.v for r in rows], dtype=np.int64 if as_longs else np.float64
+        )
+    except (ValueError, TypeError) as e:
+        bad = next(
+            (r.i for r in rows
+             if r.v is None or (rows and len(r.v) != len(rows[0].v or []))),
+            None,
+        )
+        raise ValueError(
+            f"invalid vector in trainer sample (item {bad!r}): all items "
+            "must be non-null arrays of one fixed dimension"
+        ) from e
 
 
 def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -391,10 +391,10 @@ def make_slicer_udf(margin: int, chunk: int):
 def _flatten_slices(col: pd.Series):
     """Concatenate a batch's slice arrays into one flat byte buffer.
 
-    Returns (keys, slens, offs, flat, srow): `keys` is the per-slice
+    Returns (keys, starts, slens, offs, flat): `keys` is the per-slice
     row-qualified start (row * 2^41 + start) so ONE searchsorted maps any
-    (row, pos) anchor to its slice; offs[j] is slice j's offset in `flat`;
-    srow bounds each row's slice-index range."""
+    (row, pos) anchor to its slice; starts[j]/slens[j] are slice j's byte
+    range in its file; offs[j] is slice j's offset in `flat`."""
     n_slices = np.fromiter((len(x) for x in col), np.int64, len(col))
     bufs = [np.frombuffer(s["bytes"], dtype=np.uint8) for x in col for s in x]
     total = int(n_slices.sum())
@@ -408,10 +408,9 @@ def _flatten_slices(col: pd.Series):
     else:
         starts = slens = offs = np.empty(0, np.int64)
         flat = np.zeros(1, np.uint8)
-    srow = np.concatenate(([0], np.cumsum(n_slices)))
     row_of_slice = np.repeat(np.arange(len(col), dtype=np.int64), n_slices)
     keys = row_of_slice * _ROW_KEY + starts
-    return keys, starts, slens, offs, flat, srow
+    return keys, starts, slens, offs, flat
 
 
 _ROW_KEY = np.int64(1) << np.int64(41)  # > any byte offset in one file
@@ -431,8 +430,8 @@ def make_sliced_verifier(cfg: DedupConfig):
                     columns=["u", "v", "match_len", "capped"]
                 )
                 continue
-            ka, sa, la, oa, ca, _ = _flatten_slices(pdf["slices_u"])
-            kb, sb, lb, ob, cb, _ = _flatten_slices(pdf["slices_v"])
+            ka, sa, la, oa, ca = _flatten_slices(pdf["slices_u"])
+            kb, sb, lb, ob, cb = _flatten_slices(pdf["slices_v"])
             fla = pdf["flen_u"].to_numpy(np.int64)
             flb = pdf["flen_v"].to_numpy(np.int64)
 
@@ -702,11 +701,17 @@ def adaptive_slice_margin(content: DataFrame, cfg: DedupConfig) -> int:
     side). That only pays when files are much larger than the windows; for
     small-file corpora the merged windows ARE the whole file and the extra
     scan is pure overhead. A bounded sample of file lengths decides (one
-    small job; `limit` stops the scan after the first partitions)."""
+    small job; `limit` stops the scan after the first partitions). Two
+    documented approximations: the limit samples a PARTITION PREFIX, so an
+    input laid out by size can misrepresent the corpus mean, and that only
+    misprices the verify path — results are identical either way; pass
+    slice_margin explicitly to pin the choice for such layouts. Lengths
+    are measured in BYTES (octet_length) because every window/margin in
+    the slicer is utf-8 byte arithmetic."""
     margin = 2 * cfg.min_substring_len
     break_even = 4 * (2 * margin + cfg.substring_chunk)
     avg_len = (
-        content.select(F.length("content").alias("n"))
+        content.select(F.octet_length("content").alias("n"))
         .limit(20_000)
         .agg(F.avg("n"))
         .collect()[0][0]
@@ -816,19 +821,31 @@ def _sliced_verify(
         .join(jv, "v")
         .withColumn("slices_v", _prune_slices("slices_v", "pos_v"))
     )
+    # cache(), not localCheckpoint: narrow (u, v, match_len, capped) rows;
+    # executor loss recomputes through recoverable lineage instead of
+    # killing the job (cluster localCheckpoint blocks die with their
+    # executor — same rationale as the ANN serving plan, ADVICE r3). The
+    # count materializes the cache in one pass AND sizes the escalation.
     sliced = joined.mapInPandas(
         make_sliced_verifier(cfg), schema=_SLICED_SCHEMA
-    ).localCheckpoint(eager=True)
+    ).persist()
+    n_esc = sliced.where("capped").count()
     slices_df.unpersist()
 
     final = sliced.where(
         (~F.col("capped")) & (F.col("match_len") >= cfg.min_substring_len)
     ).select("u", "v", "match_len")
-    esc = sliced.where("capped").select("u", "v")
-    if esc.isEmpty():
+    if n_esc == 0:
         return final
-    esc_anchored = anchored.join(F.broadcast(esc), ["u", "v"])
+    esc = sliced.where("capped").select("u", "v")
+    # the escalated pair set obeys the same broadcast cap as every other
+    # pair join: long-verbatim-heavy corpora can cap MILLIONS of pairs,
+    # and a forced broadcast there would override AQE into a driver OOM
+    esc_bcast = n_esc <= PAIR_BROADCAST_CAP
+    esc_anchored = anchored.join(
+        F.broadcast(esc) if esc_bcast else esc, ["u", "v"]
+    )
     esc_edges = _full_content_verify(
-        esc_anchored, content, cfg, broadcast_pairs=True
+        esc_anchored, content, cfg, broadcast_pairs=esc_bcast
     )
     return final.unionByName(esc_edges)

@@ -398,11 +398,29 @@ def _infer_dim(items: DataFrame, vec_col: str) -> int:
 def _routed_items(
     items: DataFrame, model: AnnModel, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(nid, v, keys): every item routed once with the stored model."""
+    """(nid, v, keys): every item routed once with the stored model.
+
+    Per-row validation is fused into the projection (JVM-side, codegen'd):
+    a null or wrong-length vector FAILS the routing job with the offending
+    id instead of persisting a poison row (`_infer_dim` samples only the
+    first row, so ragged inputs would otherwise slip through; a stored
+    null vector breaks get_item_vector and re-rank distances later, far
+    from the cause)."""
     cfg = model.cfg
+    raw = F.col(vec_col)
+    ok = raw.isNotNull() & (F.size(raw) == F.lit(cfg.dim))
+    checked = F.when(ok, _stored_vec(cfg, vec_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("invalid vector for item "),
+                F.col(id_col).cast("string"),
+                F.lit(f": need a non-null array of {cfg.dim} elements"),
+            )
+        )
+    )
     return items.select(
         F.col(id_col).alias("nid"),
-        _stored_vec(cfg, vec_col).alias("v"),
+        checked.alias("v"),
         model.keys_col(vec_col, query_side=False).alias("keys"),
     )
 
@@ -878,19 +896,31 @@ class AnnIndex:
         # all derive from its re-read, so a non-deterministic input can
         # never persist counts that diverge from the bucket rows (and the
         # UDF is not re-paid per artifact)
-        _routed_items(items, self.model, id_col, vec_col).write.parquet(
-            str(staging / "routed")
-        )
-        routed = spark.read.parquet(str(staging / "routed"))
-        routed.select("nid", "v").write.parquet(str(staging / "vectors"))
-        routed.select(
-            F.explode("keys").alias("bucket"), "nid"
-        ).write.parquet(str(staging / "buckets"))
-        # count DELTA only — history is never rewritten (snapshot-append);
-        # recounted from the staged buckets rows themselves
-        _bucket_counts(
-            spark.read.parquet(str(staging / "buckets"))
-        ).write.parquet(str(staging / "counts"))
+        try:
+            _routed_items(items, self.model, id_col, vec_col).write.parquet(
+                str(staging / "routed")
+            )
+            routed = spark.read.parquet(str(staging / "routed"))
+            routed.select("nid", "v").write.parquet(str(staging / "vectors"))
+            routed.select(
+                F.explode("keys").alias("bucket"), "nid"
+            ).write.parquet(str(staging / "buckets"))
+            # count DELTA only — history is never rewritten
+            # (snapshot-append); recounted from the staged buckets rows
+            _bucket_counts(
+                spark.read.parquet(str(staging / "buckets"))
+            ).write.parquet(str(staging / "counts"))
+        except BaseException:
+            # publish has not started (it begins only after staging
+            # completes), so an ORDINARY failed job — a ragged embedding,
+            # a cancelled stage — rolls back here instead of bricking the
+            # index behind the pending marker until manual repair; a
+            # process crash still leaves the marker for repair_append
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            (Path(root) / _PENDING).unlink(missing_ok=True)
+            raise
         # ---- commit (resumable; see _publish_staged) -------------------
         _publish_staged(spark, root, cfg)
         # drop the superseded cached sizes BEFORE caching its successor:

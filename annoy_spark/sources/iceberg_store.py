@@ -45,6 +45,8 @@ def available(spark: SparkSession, catalog: str = "local") -> bool:
     session (the runtime jar is on the classpath AND the catalog is
     configured). Probe = SHOW NAMESPACES, the cheapest catalog-touching
     statement; any plugin/classpath failure means 'not available'."""
+    if not re.fullmatch(r"[A-Za-z0-9_]+", catalog):
+        return False
     try:
         spark.sql(f"SHOW NAMESPACES IN {catalog}").collect()
         return True
@@ -70,6 +72,8 @@ class IcebergCheckpointStore(CheckpointStore):
         namespace: str = "annoy_spark",
     ):
         super().__init__(root, cfg)
+        if not re.fullmatch(r"[A-Za-z0-9_]+", catalog):
+            raise ValueError(f"invalid catalog {catalog!r}")
         if not re.fullmatch(r"[A-Za-z0-9_]+", namespace):
             raise ValueError(f"invalid namespace {namespace!r}")
         self.spark = spark

@@ -444,3 +444,50 @@ def test_item_stream_recreated_checkpoint_fails_loudly(
         q.awaitTermination(300)
     # nothing was double-ingested
     assert load_index(spark, root).n_items() == 250
+
+
+def test_failed_append_rolls_back_not_bricks(spark, corpus, tmp_path):
+    """An ORDINARY failed append job (here: a null embedding that explodes
+    the routing UDF) must roll back the pending marker + staging, leaving
+    the index loadable and appendable — not bricked until manual
+    repair_append. A process CRASH mid-append still leaves the marker for
+    repair (covered by the staged-publish tests)."""
+    from pathlib import Path
+
+    cfg = AnnIndexConfig(kind="forest", n_trees=4, seed=42)
+    root = str(tmp_path / "idx")
+    idx = build_index(spark, corpus.where(F.col("vec_id") < 200), root, cfg)
+    dim = idx.get_f()
+    assert dim == 16  # the null row must survive the pre-staging dim check
+    bad = spark.createDataFrame(
+        [(5000, [1.0] * dim), (5001, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception) as ei:
+        idx.append(bad)
+    assert "dim" not in str(ei.value)[:200]  # failed IN the staging job
+    assert not (Path(root) / "_APPEND_PENDING.json").exists()
+    # not bricked: load and a clean append both work
+    idx2 = load_index(spark, root)
+    ok = corpus.where(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 220)
+    )
+    idx2.append(ok)
+    assert load_index(spark, root).n_items() == 220
+
+
+def test_build_rejects_null_or_ragged_vectors(spark, corpus, tmp_path):
+    """The per-row routing validation also guards BUILD: _infer_dim only
+    samples the first row, so a later null/ragged vector must fail the
+    routing job loudly instead of persisting a poison row that breaks
+    get_item_vector / re-rank far from the cause."""
+    good = corpus.where(F.col("vec_id") < 50)
+    bad = good.unionByName(
+        spark.createDataFrame(
+            [(6000, None), (6001, [1.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    cfg = AnnIndexConfig(kind="forest", n_trees=4, seed=42)
+    with pytest.raises(Exception, match="invalid vector"):
+        build_index(spark, bad, str(tmp_path / "idx"), cfg)

@@ -62,7 +62,12 @@ def _triad(n_iters: int, q=None) -> float:
         np.multiply(b, 2.0, out=a)
         a += c
     dt = time.time() - t0
-    gbs = n_iters * 3 * n * 8 / dt / 1e9  # read b, read c, write a
+    # numpy cannot fuse the triad, so the two passes actually move FIVE
+    # streams: multiply = read b + write a; += = read a + read c + write a.
+    # Earlier probe rows (no probe_ver field) used 3 streams and read ~40%
+    # low in absolute terms; relative window-to-window comparison — the
+    # probe's purpose — was unaffected.
+    gbs = n_iters * 5 * n * 8 / dt / 1e9
     if q is not None:
         q.put(gbs)
     return gbs
@@ -83,6 +88,7 @@ def main() -> None:
     nproc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     row = {
         "ts": time.time(),
+        "probe_ver": 2,
         **cpu_window(),
         "single_core_loop_s": single_core_loop(),
         "triad_1p_gbs": round(_triad(3), 2),
