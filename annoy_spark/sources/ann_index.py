@@ -409,7 +409,7 @@ def _routed_items(
     cfg = model.cfg
     raw = F.col(vec_col)
     ok = raw.isNotNull() & (F.size(raw) == F.lit(cfg.dim))
-    checked = F.when(ok, _stored_vec(cfg, vec_col)).otherwise(
+    checked_raw = F.when(ok, raw).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("invalid vector for item "),
@@ -418,9 +418,15 @@ def _routed_items(
             )
         )
     )
-    return items.select(
-        F.col(id_col).alias("nid"),
-        checked.alias("v"),
+    # validate BENEATH the routing UDF (the checked expression is the
+    # UDF's input, so it evaluates first — a raw raise_error alongside
+    # the UDF would race it and surface an opaque pandas error instead)
+    checked_items = items.select(
+        F.col(id_col).alias("nid"), checked_raw.alias(vec_col)
+    )
+    return checked_items.select(
+        "nid",
+        _stored_vec(cfg, vec_col).alias("v"),
         model.keys_col(vec_col, query_side=False).alias("keys"),
     )
 

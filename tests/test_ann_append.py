@@ -463,7 +463,7 @@ def test_failed_append_rolls_back_not_bricks(spark, corpus, tmp_path):
         [(5000, [1.0] * dim), (5001, None)],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(Exception) as ei:
+    with pytest.raises(Exception, match="invalid vector") as ei:
         idx.append(bad)
     assert "dim" not in str(ei.value)[:200]  # failed IN the staging job
     assert not (Path(root) / "_APPEND_PENDING.json").exists()
