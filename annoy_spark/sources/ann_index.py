@@ -385,6 +385,40 @@ class AnnModel:
         )
 
 
+def _auto_n_trees(cfg: AnnIndexConfig) -> int:
+    """Resolve ``n_trees=-1``: annoy's auto-sizing builds trees until
+    ``n_nodes >= 2 * n_items`` (annoylib.h:1266-1271) — i.e. it spends
+    roughly one extra item's worth of index bytes per item, the "index
+    <= ~2x raw vectors" envelope README.rst:39 advertises. The analog in
+    this format: per item, each tree costs one (bucket, nid) row (16
+    bytes raw) plus its share of the stored split nodes — ``dim * 8 /
+    leaf_cap`` bytes for float hyperplanes, ``16 / leaf_cap`` for
+    hamming bit nodes (one bit index + children per split). Pick the
+    largest n_trees whose total stays within one raw-vector-byte per
+    item (vectors artifact = dim * 8 bytes/item for doubles and packed
+    int64 words alike)."""
+    bytes_per_vec = cfg.dim * 8
+    node_share = (16.0 if cfg.metric == "hamming" else cfg.dim * 8.0) / max(
+        cfg.leaf_cap, 1
+    )
+    return max(1, int(bytes_per_vec / (16.0 + node_share)))
+
+
+def _resolve_n_trees(cfg: AnnIndexConfig) -> AnnIndexConfig:
+    """Resolve the ``n_trees=-1`` sentinel AFTER dim inference. The
+    resolved count is what gets persisted/hash-validated (annoy stores
+    the actual trees built, not the -1 it was asked for)."""
+    if cfg.n_trees != -1:
+        return cfg
+    if cfg.kind != "forest":
+        raise ValueError(
+            "n_trees=-1 auto-sizing is a forest knob (annoy build(-1), "
+            f"annoylib.h:1266-1271); set an explicit geometry for "
+            f"kind={cfg.kind!r}"
+        )
+    return replace(cfg, n_trees=_auto_n_trees(cfg))
+
+
 def _infer_dim(items: DataFrame, vec_col: str) -> int:
     row = items.select(vec_col).first()
     if row is None or row[0] is None or len(row[0]) == 0:
@@ -960,6 +994,7 @@ def build_index(
     index (no reload needed to query immediately)."""
     if cfg.dim == 0:
         cfg = replace(cfg, dim=_infer_dim(items, vec_col))
+    cfg = _resolve_n_trees(cfg)
     model = AnnModel.train(items, cfg, id_col, vec_col)
     vectors, bucketed = _route_items(items, model, id_col, vec_col)
     store = CheckpointStore(root, cfg)
@@ -1083,6 +1118,7 @@ def knn_by_vector_approx(
     one plan — the ``queries=`` backend for knn_forest/knn_ivf/knn_lsh."""
     if cfg.dim == 0:
         cfg = replace(cfg, dim=_infer_dim(items, vec_col))
+    cfg = _resolve_n_trees(cfg)
     model = AnnModel.train(items, cfg, id_col, vec_col)
     vectors, bucketed = _route_items(items, model, id_col, vec_col)
     # cache()+count(), not localCheckpoint: the oversized relation is tiny

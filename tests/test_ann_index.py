@@ -472,3 +472,48 @@ def test_get_distance_hamming(spark, tmp_path):
     mask = (1 << 64) - 1  # 64-bit two's-complement popcount
     assert idx.get_distance(0, 1) == float(bin((5 ^ 6) & mask).count("1"))
     assert idx.get_distance(0, 2) == float(bin((-9 ^ 7) & mask).count("1"))
+
+
+def test_auto_n_trees_memory_envelope(spark, corpus, tmp_path):
+    """n_trees=-1 auto-sizing (annoy build(-1), annoylib.h:1266-1271):
+    resolve trees from the memory envelope, persist the RESOLVED count,
+    and keep total index bytes <= ~2x the raw vectors artifact — the
+    README.rst:39 "roughly the size of the data" contract."""
+    import os
+    from annoy_spark.sources.ann_index import _auto_n_trees
+
+    root = str(tmp_path / "auto_idx")
+    cfg = AnnIndexConfig(kind="forest", metric="angular", n_trees=-1,
+                         leaf_cap=32, seed=7, max_sample=1000)
+    idx = build_index(spark, corpus, root, cfg)
+    resolved = idx.n_trees()
+    # dim=16 doubles: 128 bytes/vec; per tree 16 B bucket row + 128/32
+    # node share => floor(128 / 20) = 6
+    assert resolved == 6
+    assert resolved == _auto_n_trees(idx.model.cfg)
+
+    # the persisted geometry is the resolved one (load sees no -1)
+    idx2 = load_index(spark, root)
+    assert idx2.model.cfg.n_trees == resolved
+
+    def _du(sub):
+        total = 0
+        for dirpath, _, files in os.walk(os.path.join(root, sub)):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f)) for f in files
+            )
+        return total
+
+    vec_bytes = _du("vectors")
+    index_total = sum(
+        _du(s) for s in ("vectors", "buckets", "counts", "model")
+    )
+    assert vec_bytes > 0
+    assert index_total <= 2.0 * vec_bytes, (index_total, vec_bytes)
+
+    # auto-sizing is a forest knob; other kinds must be explicit
+    with pytest.raises(ValueError, match="forest knob"):
+        build_index(
+            spark, corpus, str(tmp_path / "auto_ivf"),
+            AnnIndexConfig(kind="ivf", metric="angular", n_trees=-1),
+        )
