@@ -881,7 +881,7 @@ def _stateful_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from annoy_spark.config import DedupConfig
     from annoy_spark.operators.sign import sign
-    from annoy_spark.operators.verify import jaccard_udf
+    from annoy_spark.operators.verify import jaccard_col
     from annoy_spark.streaming.stateful_band import band_candidates_stream
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -963,7 +963,7 @@ def _stateful_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sigs.select(F.col("did").alias("v"), F.col("shingle_hashes").alias("sh_v")),
             "v",
         )
-        .select("u", "v", jaccard_udf("sh_u", "sh_v").alias("j"))
+        .select("u", "v", jaccard_col("sh_u", "sh_v").alias("j"))
     )
     return scored.where(F.col("j") >= cfg.jaccard_s).select("u", "v")
 

@@ -63,6 +63,28 @@ def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 jaccard_udf = jaccard_udf.asNondeterministic()
 
 
+def jaccard_col(a, b) -> F.Column:
+    """Exact Jaccard between two distinct-int64 array columns, JVM-side.
+
+    Same value as ``jaccard_udf`` (property-checked equivalent in
+    tests/test_properties.py) but stays inside whole-stage codegen:
+    ``array_intersect`` is an O(|a|+|b|) hash-set probe per row, and the
+    KB-sized shingle arrays never ride an Arrow batch to a Python
+    worker — on the verify hot path that serialization was the stage's
+    dominant per-row cost and its main run-to-run variance source
+    (Python worker scheduling). Division is the same exact
+    int->double IEEE op the DuckDB oracle performs."""
+    a, b = F.col(a) if isinstance(a, str) else a, (
+        F.col(b) if isinstance(b, str) else b
+    )
+    ni = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - ni
+    return F.when(
+        (F.size(a) > 0) & (F.size(b) > 0),
+        ni.cast("double") / union.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def hamming_col(a: str, b: str, words: int) -> F.Column:
     """Exact Hamming distance between packed int64 signature arrays (JVM)."""
     total = F.lit(0)
@@ -157,7 +179,7 @@ def _score_lsh(
         "v",
         "kind",
         "from_star",
-        jaccard_udf(F.col("sh_u"), F.col("sh_v")).alias("jaccard"),
+        jaccard_col(F.col("sh_u"), F.col("sh_v")).alias("jaccard"),
         hamming_col("sim_u", "sim_v", cfg.simhash_words).alias("hamming"),
         F.least("ns_u", "ns_v").alias("min_shingles"),
     )

@@ -1,8 +1,9 @@
-"""Property-based kernel tests (hypothesis) — no Spark session needed.
+"""Property-based kernel tests (hypothesis; Spark only for the
+jaccard_col/udf equivalence check).
 
 The invariants LSH correctness rests on, checked over random inputs:
-minhash union-min law, jaccard-udf equivalence to python sets, winnowing's
-shared-fingerprint guarantee, rolling-hash locality.
+minhash union-min law, JVM-jaccard equivalence to the pandas udf,
+winnowing's shared-fingerprint guarantee, rolling-hash locality.
 """
 
 from __future__ import annotations
@@ -148,3 +149,31 @@ def test_bit_side_matches_reference_margin(pos, w0, w1):
     chunk, off = pos // 64, 63 - (pos % 64)
     want = bool((np.uint64(words[0, chunk]) >> np.uint64(off)) & np.uint64(1))
     assert got == want
+
+
+def test_jaccard_col_equals_udf(spark):
+    """The JVM jaccard (array_intersect/size, whole-stage codegen) is
+    bit-identical to the pandas jaccard_udf it replaced on the verify
+    hot path — both reduce to the same exact int counts and one
+    int->double IEEE division. Random distinct-int64 arrays, including
+    empty/disjoint/identical edges."""
+    from annoy_spark.operators.verify import jaccard_col, jaccard_udf
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        la, lb = rng.integers(0, 40, 2)
+        pool = rng.choice(10_000, size=80, replace=False)
+        a = [int(x) for x in pool[:la]]
+        # overlap ~half of b with a so intersections actually occur
+        b = [int(x) for x in pool[la // 2: la // 2 + lb]]
+        rows.append((i, a, b))
+    rows += [(300, [], []), (301, [1, 2], []), (302, [7], [7])]
+    df = spark.createDataFrame(
+        rows, "id long, a array<long>, b array<long>"
+    )
+    got = df.select(
+        jaccard_col("a", "b").alias("jvm"),
+        jaccard_udf("a", "b").alias("py"),
+    ).collect()
+    assert all(r.jvm == r.py for r in got)
