@@ -24,13 +24,20 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-LEVELS = [0, 1, 2, 3]
+LEVELS = [0, 1, 2, 3, 4, 5]
 WORDS = 2  # 128-bit signatures, annoy's hamming item shape
 
 
 def main() -> None:
     n_items = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    # a LEAN index (2 trees) on hard signatures (8 flipped bits): at
+    # d=0 the frozen forest misses ~1 in 5 true neighbors, so the curve
+    # actually shows what the query-time knob buys (8 trees on 3-bit
+    # perturbations saturates recall at every level - a flat line is no
+    # evidence)
+    n_trees = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_flips = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
     from annoy_spark.operators.knn import knn_bruteforce
     from annoy_spark.session import get_spark
@@ -56,7 +63,7 @@ def main() -> None:
         r = np.random.default_rng(flip_seed)
         base = centers[np.arange(n) % len(centers)]
         out = base.copy()
-        for _ in range(3):  # flip 3 random bits per signature
+        for _ in range(n_flips):  # flip random bits per signature
             w = r.integers(0, WORDS, size=n)
             b = r.integers(0, 63, size=n)
             out[np.arange(n), w] ^= np.int64(1) << b.astype(np.int64)
@@ -75,7 +82,8 @@ def main() -> None:
     root = "/dev/shm/spill_levels_idx"
     shutil.rmtree(root, ignore_errors=True)
     cfg = AnnIndexConfig(
-        kind="forest", metric="hamming", n_trees=8, leaf_cap=64, seed=42,
+        kind="forest", metric="hamming", n_trees=n_trees, leaf_cap=64,
+        seed=42,
         sample_fraction=1.0, max_sample=20_000,
     )
     build_index(spark, items, root, cfg)
@@ -112,7 +120,8 @@ def main() -> None:
         "## spill_levels sweep — hamming forest serving (bit-tree search_k)",
         "",
         f"Same stored hamming index ({n_items:,} packed-128-bit items, "
-        "8 bit-split trees, leaf_cap 64),",
+        f"{n_trees} bit-split trees, leaf_cap 64, {n_flips} flipped "
+        "bits/member),",
         f"same batch of {n_queries:,} queries, one knob: spill_levels at "
         "query time (probe both",
         "children in the bottom d split levels, <= 2^d leaves/tree; min of "
@@ -130,7 +139,7 @@ def main() -> None:
     md.append("")
     md.append(
         f"Reproduce: `python tools/sweep_spill_levels.py {n_items} "
-        f"{n_queries}`"
+        f"{n_queries} {n_trees} {n_flips}`"
     )
     md.append("")
     path = REPO / "BENCH" / "ann_index_bench.md"
