@@ -183,3 +183,27 @@ def test_all_identical_corpus_mega_cluster(spark, tmp_path_factory):
     labels = r.clusters.collect()
     assert len({x.cluster_id for x in labels}) == 1
     assert len(labels) == 300
+
+
+def test_verify_plan_is_udf_free(spark, corpus):
+    """Plan-shape guard for the round-5 JVM-jaccard swap: the verify
+    stage's physical plan must contain no Python evaluation node — the
+    exact re-rank (jaccard + hamming) runs entirely in whole-stage
+    codegen, with the jaccard expression compiled into the join.
+    A reintroduced pandas UDF here would ship KB-sized shingle arrays
+    over Arrow per candidate pair (the dominant cost and variance
+    source this guard retired)."""
+    from annoy_spark.operators.band import all_candidate_edges
+    from annoy_spark.operators.sign import sign
+    from annoy_spark.operators.verify import verify_with_rescue
+
+    # materialize signatures first: in the real pipeline verify reads a
+    # checkpoint scan, so the SIGN stage's (legitimate) Arrow UDF must
+    # not leak into the plan under test
+    sigs = sign(corpus, CFG).localCheckpoint()
+    cand, _ = all_candidate_edges(sigs, CFG)
+    cand = cand.localCheckpoint()
+    verified = verify_with_rescue(cand, sigs, CFG, small_candidates=True)
+    plan = verified._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, f"{node} reappeared in the verify plan"
