@@ -604,19 +604,28 @@ _NPZ = "model.npz"
 _META = "_ANNOY_SPARK_META.json"
 _STAGING = "_staging_append"
 _PENDING = "_APPEND_PENDING.json"
+_COMPACT_STAGING = "_staging_compact"
+_COMPACT_PENDING = "_COMPACT_PENDING.json"
 
 
 def _check_pending(root: str) -> None:
-    """Refuse to load/append/query an index whose last append never
-    committed: torn artifacts (vectors without bucket rows etc.) must
-    not serve silently. repair_append either completes the staged batch
-    (publish is resumable) or rolls it back (nothing was published)."""
+    """Refuse to load/append/query an index whose last append or compact
+    never committed: torn artifacts (vectors without bucket rows etc.)
+    must not serve silently. repair_append / repair_compact either
+    completes the staged batch (publish is resumable) or rolls it back
+    (nothing was published)."""
     if (Path(root) / _PENDING).exists():
         raise ValueError(
             f"index at {root} has an UNFINISHED append (crash between "
             "staging and commit) — run annoy_spark.sources.ann_index."
             "repair_append(spark, root) to complete or roll back the "
             "staged batch before loading"
+        )
+    if (Path(root) / _COMPACT_PENDING).exists():
+        raise ValueError(
+            f"index at {root} has an UNFINISHED compaction — run "
+            "annoy_spark.sources.ann_index.repair_compact(spark, root) "
+            "to complete or roll back the rewrite before loading"
         )
 
 
@@ -980,6 +989,18 @@ class AnnIndex:
         self._n_items = n_items
         return self
 
+    def compact(self) -> "AnnIndex":
+        """Rewrite this persisted index's artifacts as one consolidated
+        snapshot (see :func:`compact_index`) and return the reloaded
+        index. Query results are bit-identical before/after."""
+        if self._root is None or self._spark is None:
+            raise ValueError(
+                "compact requires a persisted index (build_index/"
+                "load_index); an ephemeral index has no files to compact"
+            )
+        self.unload()
+        return compact_index(self._spark, self._root)
+
 
 def build_index(
     spark: SparkSession,
@@ -1103,6 +1124,153 @@ def append_index(
     return load_index(spark, root).append(
         items, id_col=id_col, vec_col=vec_col, check_ids=check_ids
     )
+
+
+# target on-disk bytes per compacted parquet file — sized so one file is
+# one comfortable scan task (mirrors spark.sql.files.maxPartitionBytes'
+# 128MB default with headroom for parquet expansion on read)
+_COMPACT_TARGET_BYTES = 96 << 20
+
+
+def _publish_compact(spark: SparkSession, root: str, cfg: AnnIndexConfig) -> None:
+    """COMMIT a fully staged compaction: per stage, swap the live dir for
+    the staged one by two directory renames (live -> <stage>__precompact,
+    staged -> live), re-stamp stage metas, recompute the model meta from
+    the published artifacts, then drop the old dirs + staging + marker
+    (marker last: its absence IS the commit record). Every step is
+    idempotent, so a crash anywhere is completed by calling this again.
+    Crucially, even a torn mid-swap state is SEMANTICALLY intact — the
+    staged relations hold the same logical rows as the live ones (counts
+    are summed at load either way), compaction only changes file layout —
+    but the marker still forces repair so no index serves with staging
+    debris attached. On Iceberg this whole publish is `rewrite_data_files`
+    in one transactional snapshot commit."""
+    import shutil
+
+    staging = Path(root) / _COMPACT_STAGING
+    store = CheckpointStore(root, cfg)
+    for stage in ("vectors", "buckets", "counts"):
+        live = Path(root) / stage
+        old = Path(root) / f"{stage}__precompact"
+        staged = staging / stage
+        if staged.exists():
+            if live.exists() and not old.exists():
+                live.rename(old)
+            if not live.exists():
+                staged.rename(live)
+        store.restamp(stage)
+        # dirs arrived by RENAME, which bypasses the write path's
+        # automatic recache (same rationale as _publish_staged)
+        spark.catalog.refreshByPath(str(live))
+    counts = store.read(spark, "counts")
+    has_oversized = _oversized(counts, cfg.bucket_cap).limit(1).count() > 0
+    n_items = store.read(spark, "vectors").count()
+    _write_meta(root, cfg, has_oversized=has_oversized, n_items=n_items)
+    for stage in ("vectors", "buckets", "counts"):
+        shutil.rmtree(Path(root) / f"{stage}__precompact", ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    (Path(root) / _COMPACT_PENDING).unlink(missing_ok=True)
+
+
+def compact_index(spark: SparkSession, root: str) -> AnnIndex:
+    """Rewrite the persisted index as ONE consolidated snapshot — the
+    maintenance op the append-only format needs. Every ``append`` /
+    streaming-ingest batch adds parquet files to the vectors/buckets
+    artifacts and a count-DELTA file set to counts; after months of daily
+    ingest the index is thousands of small files and a load must sum a
+    long delta history. ``compact`` rewrites each artifact to its target
+    file count (sized by rows x row-width against a 96MB/file budget),
+    clusters bucket rows BY bucket (sorted within partitions, so the
+    query-time equi-join reads runs of identical keys — better parquet
+    RLE + row-group pruning), and collapses the count deltas to exactly
+    one row per bucket. Query results are bit-identical before/after:
+    salts re-derive from the same summed counts, the router is untouched.
+
+    The annoy analog: ``save`` writes the built forest as one contiguous
+    mmap-able file (/root/reference/src/annoylib.h:1093-1127); compact is
+    the distributed re-materialization of that single-artifact shape. On
+    Iceberg this is `CALL rewrite_data_files` on the three tables.
+
+    Crash-safe like ``append``: staged under a pending marker, published
+    by idempotent renames; ``load_index`` refuses a torn compact and
+    ``repair_compact`` completes (staging done) or rolls back (staging
+    incomplete — the live index was never touched)."""
+    import math
+    import shutil
+
+    _check_pending(root)
+    meta = _read_meta(root)
+    cfg = AnnIndexConfig.from_json(json.dumps(meta["config"]))
+    store = CheckpointStore(root, cfg)
+    staging = Path(root) / _COMPACT_STAGING
+    if staging.exists():  # debris from a rolled-back run; never mix
+        shutil.rmtree(staging)
+    marker = Path(root) / _COMPACT_PENDING
+    marker.write_text(json.dumps({"phase": "staging"}))
+    try:
+        vectors = store.read(spark, "vectors")
+        bucketed = store.read(spark, "buckets")
+        n_items = int(meta.get("n_items") or vectors.count())
+        n_assign = bucketed.count()
+        # row widths: vectors carry the (possibly MIPS-augmented) double
+        # vector + id; bucket rows are two longs (parquet compresses the
+        # sorted bucket column well below this — the estimate is an upper
+        # bound, erring toward more, smaller files)
+        vparts = max(1, math.ceil(n_items * (cfg.dim * 8 + 24) / _COMPACT_TARGET_BYTES))
+        bparts = max(1, math.ceil(n_assign * 16 / _COMPACT_TARGET_BYTES))
+        vectors.repartition(vparts, "nid").sortWithinPartitions(
+            "nid"
+        ).write.parquet(str(staging / "vectors"))
+        bucketed.repartition(bparts, "bucket").sortWithinPartitions(
+            "bucket", "nid"
+        ).write.parquet(str(staging / "buckets"))
+        # full recount from the staged buckets: the delta history collapses
+        # to one row per bucket (summing deltas at load == reading these)
+        _bucket_counts(
+            spark.read.parquet(str(staging / "buckets"))
+        ).coalesce(1).write.parquet(str(staging / "counts"))
+    except BaseException:
+        # nothing was published (publish starts only after staging
+        # completes) — an ordinary failed job rolls back instead of
+        # bricking the index behind the marker; a process crash leaves
+        # the marker for repair_compact, which rolls back the same way
+        shutil.rmtree(staging, ignore_errors=True)
+        marker.unlink(missing_ok=True)
+        raise
+    marker.write_text(json.dumps({"phase": "publish"}))
+    _publish_compact(spark, root, cfg)
+    return load_index(spark, root)
+
+
+def repair_compact(spark: SparkSession, root: str) -> AnnIndex:
+    """Resolve a compaction that crashed mid-flight (the _COMPACT_PENDING
+    marker is present): in the "publish" phase, finish the swap (renames
+    are idempotent); in the "staging" phase, the live artifacts were
+    never touched — drop staging + marker. Either way the index
+    afterwards loads clean and answers exactly what it answered before
+    the compact started."""
+    import shutil
+
+    marker = Path(root) / _COMPACT_PENDING
+    if marker.exists():
+        meta = _read_meta(root)
+        cfg = AnnIndexConfig.from_json(json.dumps(meta["config"]))
+        try:
+            phase = json.loads(marker.read_text()).get("phase", "staging")
+        except (json.JSONDecodeError, OSError):
+            phase = "staging"  # torn marker write: publish never started
+        # the phase field, not staging completeness, decides: a crash
+        # MID-SWAP has already consumed some staged dirs, so the staging
+        # _SUCCESS check would misread a begun publish as "unstaged" and
+        # roll back a half-swapped index. phase flips to "publish" only
+        # after staging fully completes, and every publish step is
+        # idempotent — so publish-phase repairs always complete forward.
+        if phase == "publish":
+            _publish_compact(spark, root, cfg)
+        else:
+            shutil.rmtree(Path(root) / _COMPACT_STAGING, ignore_errors=True)
+            marker.unlink(missing_ok=True)
+    return load_index(spark, root)
 
 
 def knn_by_vector_approx(

@@ -83,10 +83,18 @@ def main(argv: list[str] | None = None) -> int:
 
     r = sub.add_parser(
         "repair",
-        help="resolve an append that crashed mid-flight: complete a "
-             "fully-staged batch or roll back an unstaged one",
+        help="resolve an append or compact that crashed mid-flight: "
+             "complete a fully-staged batch or roll back an unstaged one",
     )
     r.add_argument("--root", required=True)
+
+    c = sub.add_parser(
+        "compact",
+        help="rewrite the append-accumulated artifacts as one "
+             "consolidated snapshot (small-file maintenance; "
+             "query results are bit-identical before/after)",
+    )
+    c.add_argument("--root", required=True)
 
     q = sub.add_parser("query")
     q.add_argument("--root", required=True)
@@ -113,8 +121,10 @@ def main(argv: list[str] | None = None) -> int:
         AnnIndexConfig,
         append_index,
         build_index,
+        compact_index,
         load_index,
         repair_append,
+        repair_compact,
     )
 
     spark = get_spark(f"annoy_spark_index_{args.cmd}")
@@ -151,10 +161,42 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "repair":
-        idx = repair_append(spark, args.root)
+        # at most one marker can exist (append refuses to start under a
+        # pending compact and vice versa); dispatch on which is present —
+        # each repair ends in load_index, which raises on the OTHER marker
+        from pathlib import Path as _Path
+
+        from annoy_spark.sources.ann_index import _COMPACT_PENDING
+
+        if (_Path(args.root) / _COMPACT_PENDING).exists():
+            idx = repair_compact(spark, args.root)
+        else:
+            idx = repair_append(spark, args.root)
         print(json.dumps({
             "repaired": args.root,
             "n_items": idx.n_items(),
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.cmd == "compact":
+        from pathlib import Path
+
+        def _data_files(root: str) -> int:
+            return sum(
+                1
+                for s in ("vectors", "buckets", "counts")
+                for f in (Path(root) / s).iterdir()
+                if f.name.endswith(".parquet")
+            )
+
+        before = _data_files(args.root)
+        idx = compact_index(spark, args.root)
+        print(json.dumps({
+            "compacted": args.root,
+            "n_items": idx.n_items(),
+            "data_files_before": before,
+            "data_files_after": _data_files(args.root),
             "wall_sec": round(time.time() - t0, 2),
         }))
         return 0

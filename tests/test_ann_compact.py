@@ -1,0 +1,201 @@
+"""Compaction of the persisted ANN index — the maintenance op for the
+append-only format. Annoy's ``save`` writes the built forest as ONE
+contiguous mmap-able file (/root/reference/src/annoylib.h:1093-1127);
+``compact_index`` is the distributed re-materialization of that
+single-snapshot shape after appends have scattered the artifacts across
+many small delta files. Contract under test: bit-identical query answers,
+collapsed count deltas, fewer data files, crash-safe commit."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from annoy_spark.sources.ann_index import (
+    _COMPACT_PENDING,
+    _COMPACT_STAGING,
+    AnnIndexConfig,
+    build_index,
+    compact_index,
+    load_index,
+    repair_compact,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(11)
+    n, dim = 360, 12
+    centers = rng.standard_normal((18, dim)) * 3
+    vecs = centers[np.arange(n) % 18] + rng.standard_normal((n, dim)) * 0.3
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, corpus):
+    return (
+        corpus.where(F.col("vec_id") % 36 == 0)
+        .select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + 0.01).alias("embedding"),
+        )
+        .cache()
+    )
+
+
+def _data_files(root: str, stage: str) -> list[str]:
+    return sorted(
+        f.name
+        for f in (Path(root) / stage).iterdir()
+        if f.name.endswith(".parquet")
+    )
+
+
+def _answers(idx, queries, k=10):
+    return sorted(
+        (r.qid, r.nid, r.rank)
+        for r in idx.query(queries, k=k, spill_eps=0.1).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def appended_root(spark, corpus, tmp_path_factory):
+    """An index grown by three appends — the scattered-files shape."""
+    root = str(tmp_path_factory.mktemp("compact") / "idx")
+    cfg = AnnIndexConfig(
+        kind="forest", metric="angular", n_trees=12, seed=42,
+        sample_fraction=1.0,
+    )
+    idx = build_index(spark, corpus.where(F.col("vec_id") < 90), root, cfg)
+    for lo, hi in ((90, 180), (180, 270), (270, 360)):
+        idx = idx.append(
+            corpus.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        )
+    return root
+
+
+def test_compact_bit_identical_and_fewer_files(
+    spark, corpus, queries, appended_root
+):
+    idx = load_index(spark, appended_root)
+    before = _answers(idx, queries)
+    files_before = sum(
+        len(_data_files(appended_root, s))
+        for s in ("vectors", "buckets", "counts")
+    )
+    # count deltas: 4 write batches' worth of per-bucket partial rows
+    counts_raw = spark.read.parquet(str(Path(appended_root) / "counts"))
+    assert (
+        counts_raw.groupBy("bucket").count().where("count > 1").count() > 0
+    ), "fixture must actually hold un-collapsed count deltas"
+    idx.unload()
+
+    compacted = compact_index(spark, appended_root)
+    after = _answers(compacted, queries)
+    assert before == after, "compaction must not change any answer"
+    assert compacted.n_items() == corpus.count()
+    files_after = sum(
+        len(_data_files(appended_root, s))
+        for s in ("vectors", "buckets", "counts")
+    )
+    assert files_after < files_before
+    # deltas collapsed: exactly one stored row per bucket
+    counts_raw = spark.read.parquet(str(Path(appended_root) / "counts"))
+    assert counts_raw.groupBy("bucket").count().where("count > 1").count() == 0
+    # no staging debris, no marker, no precompact dirs
+    assert not (Path(appended_root) / _COMPACT_PENDING).exists()
+    assert not (Path(appended_root) / _COMPACT_STAGING).exists()
+    assert not list(Path(appended_root).glob("*__precompact"))
+    # a reload (fresh meta read) also answers identically
+    assert _answers(load_index(spark, appended_root), queries) == before
+
+
+def test_append_after_compact(spark, corpus, queries, appended_root):
+    """Compaction is a layout rewrite, not a freeze: the index keeps
+    growing afterwards with the same frozen router."""
+    idx = load_index(spark, appended_root)
+    extra = corpus.select(
+        (F.col("vec_id") + 1_000).alias("vec_id"), "embedding"
+    ).where(F.col("vec_id") < 1_030)
+    idx = idx.append(extra)
+    assert idx.n_items() == corpus.count() + 30
+    nids = {r.nid for r in idx.query(queries, k=10, spill_eps=0.1).collect()}
+    assert any(n >= 1_000 for n in nids), "post-compact appends must serve"
+
+
+def test_crash_during_staging_rolls_back(spark, corpus, queries, tmp_path):
+    """A marker in the 'staging' phase means nothing was published: the
+    load refuses, repair rolls back, and the index answers exactly as
+    before the attempted compact."""
+    root = str(tmp_path / "idx")
+    cfg = AnnIndexConfig(
+        kind="forest", metric="angular", n_trees=8, seed=42,
+        sample_fraction=1.0,
+    )
+    idx = build_index(spark, corpus, root, cfg)
+    before = _answers(idx, queries)
+    # simulate the crash: marker written, staging partially present
+    (Path(root) / _COMPACT_PENDING).write_text(json.dumps({"phase": "staging"}))
+    (Path(root) / _COMPACT_STAGING / "vectors").mkdir(parents=True)
+    with pytest.raises(ValueError, match="UNFINISHED compaction"):
+        load_index(spark, root)
+    repaired = repair_compact(spark, root)
+    assert _answers(repaired, queries) == before
+    assert not (Path(root) / _COMPACT_STAGING).exists()
+    assert not (Path(root) / _COMPACT_PENDING).exists()
+
+
+def test_crash_during_publish_completes_forward(
+    spark, corpus, queries, tmp_path, monkeypatch
+):
+    """Kill the publish after the FIRST stage swap (vectors new, buckets
+    old, staging half-consumed — the nastiest torn state): repair must
+    complete the swap, and answers stay bit-identical."""
+    import annoy_spark.sources.ann_index as ai
+
+    root = str(tmp_path / "idx")
+    cfg = AnnIndexConfig(
+        kind="forest", metric="angular", n_trees=8, seed=43,
+        sample_fraction=1.0,
+    )
+    idx = build_index(spark, corpus.where(F.col("vec_id") < 180), root, cfg)
+    idx = idx.append(corpus.where(F.col("vec_id") >= 180))
+    before = _answers(idx, queries)
+    idx.unload()
+
+    real_restamp = ai.CheckpointStore.restamp
+    calls = {"n": 0}
+
+    def dying_restamp(self, stage, **extra):
+        calls["n"] += 1
+        if calls["n"] == 2:  # vectors swapped + restamped; die on buckets
+            raise RuntimeError("simulated crash mid-publish")
+        return real_restamp(self, stage, **extra)
+
+    monkeypatch.setattr(ai.CheckpointStore, "restamp", dying_restamp)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_index(spark, root)
+    monkeypatch.setattr(ai.CheckpointStore, "restamp", real_restamp)
+
+    # torn: marker present in publish phase, vectors swapped, buckets not
+    assert (Path(root) / _COMPACT_PENDING).exists()
+    assert json.loads(
+        (Path(root) / _COMPACT_PENDING).read_text()
+    )["phase"] == "publish"
+    with pytest.raises(ValueError, match="UNFINISHED compaction"):
+        load_index(spark, root)
+
+    repaired = repair_compact(spark, root)
+    assert _answers(repaired, queries) == before
+    assert not (Path(root) / _COMPACT_STAGING).exists()
+    assert not list(Path(root).glob("*__precompact"))
+    # fully compacted: deltas collapsed despite the mid-flight crash
+    counts_raw = spark.read.parquet(str(Path(root) / "counts"))
+    assert counts_raw.groupBy("bucket").count().where("count > 1").count() == 0

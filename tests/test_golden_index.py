@@ -51,3 +51,30 @@ def test_golden_index_rejects_other_config(spark):
     other = AnnIndexConfig(kind="forest", n_trees=8, seed=_tool.SEED)
     with pytest.raises(ValueError, match="refusing"):
         load_index(spark, str(FIXTURE), expected=other)
+
+
+def test_golden_index_compacted_copy_answers_identically(spark, tmp_path):
+    """Compaction over the cross-version fixture: copy the committed
+    index, compact the copy, and the pinned answers must hold
+    bit-for-bit (distance to 1e-12) — compaction is a file-layout
+    rewrite, never a semantic one."""
+    import shutil
+
+    from annoy_spark.sources.ann_index import compact_index
+
+    root = tmp_path / "golden_copy"
+    shutil.copytree(FIXTURE, root)
+    want = json.loads(EXPECTED.read_text())
+    idx = compact_index(spark, str(root))
+    assert idx.n_items() == _tool.N
+    qs = spark.createDataFrame(
+        _tool.golden_query_rows(), "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        idx.query(qs, k=want["k"], spill_eps=want["spill_eps"]).collect(),
+        key=lambda r: (r.qid, r.rank),
+    )
+    assert len(got) == len(want["rows"]) > 0
+    for g, w in zip(got, want["rows"]):
+        assert (g.qid, g.nid, g.rank) == (w["qid"], w["nid"], w["rank"])
+        assert g.distance == pytest.approx(w["distance"], abs=1e-12)
