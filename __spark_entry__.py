@@ -556,6 +556,45 @@ def _ann_index_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_stats(emb, exact, approx, 10, FOREST_BV_MIN_RECALL_PCT)
 
 
+def _ann_index_compact_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction lifecycle gate — the maintenance op the append-only
+    persisted format needs (annoy's ``save`` writes ONE contiguous file,
+    annoylib.h:1093-1127; after many appends this index is many small
+    delta files). Grow the index by appends, COMPACT it mid-life
+    (artifacts rewritten to consolidated snapshots, count deltas
+    collapsed to one row per bucket), keep growing AFTER the compact,
+    and gate by-vector recall@k over the full corpus — a compacted index
+    must answer exactly as well as the never-compacted one."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from annoy_spark.operators.knn import knn_bruteforce
+    from annoy_spark.sources.ann_index import (
+        AnnIndexConfig,
+        append_index,
+        build_index,
+        compact_index,
+        load_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = _by_vector_queries(emb)
+    cfg = AnnIndexConfig(
+        kind="forest", metric="angular", n_trees=32, leaf_cap=32, seed=42,
+        sample_fraction=1.0,
+    )
+    root = tempfile.mkdtemp(prefix="annoy_spark_compact_idx_")
+    build_index(spark, emb.where(F.col("vec_id") % 3 == 0), root, cfg)
+    append_index(spark, root, emb.where(F.col("vec_id") % 3 == 1))
+    compact_index(spark, root)
+    append_index(spark, root, emb.where(F.col("vec_id") % 3 == 2))
+    idx = load_index(spark, root, expected=cfg)
+    approx = idx.query(qs, k=10, spill_eps=0.05).select("qid", "nid")
+    exact = knn_bruteforce(emb, qs, k=10).select("qid", "nid")
+    return _recall_stats(emb, exact, approx, 10, FOREST_BV_MIN_RECALL_PCT)
+
+
 def _ann_item_stream_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ITEM ingest gate — the daily-growing-corpus twin of the
     append gate (annoy's unbuild -> add_item -> build as a stream): build
@@ -1051,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_forest_dot_recall"] = _knn_forest_dot_recall
     out["knn_ivf_dot_recall"] = _knn_ivf_dot_recall
     out["ann_index_append_recall"] = _ann_index_append_recall
+    out["ann_index_compact_recall"] = _ann_index_compact_recall
     out["ann_item_stream_recall"] = _ann_item_stream_recall
     out["knn_forest_manhattan_recall"] = _knn_forest_manhattan_recall
     out["knn_forest_hamming_recall"] = _knn_forest_hamming_recall
@@ -1099,6 +1139,9 @@ def oracle_sql() -> dict[str, str]:
         IVF_BV_MIN_RECALL_PCT
     )
     out["ann_index_append_recall"] = G.q_knn_lsh_recall_duck(
+        FOREST_BV_MIN_RECALL_PCT
+    )
+    out["ann_index_compact_recall"] = G.q_knn_lsh_recall_duck(
         FOREST_BV_MIN_RECALL_PCT
     )
     out["ann_item_stream_recall"] = G.q_knn_lsh_recall_duck(
