@@ -39,9 +39,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from annoy_spark.sources.ann_index import (
     AnnIndex,
+    _COMPACT_PENDING,
     _PENDING,
+    compact_index,
     load_index,
     repair_append,
+    repair_compact,
 )
 
 ITEM_SCHEMA = "vec_id long, embedding array<double>"
@@ -57,14 +60,29 @@ def ann_item_stream(
     item_schema: str = ITEM_SCHEMA,
     available_now: bool = True,
     check_ids: bool = True,
+    compact_every: int = 0,
 ) -> StreamingQuery:
     """Append every item vector landing under input_dir to the index
     persisted at index_root (for hamming indexes pass an array<long>
-    item_schema)."""
+    item_schema).
+
+    compact_every=N (default off) runs compact_index after every Nth
+    applied batch — in-line maintenance for a long-running ingest whose
+    appends would otherwise scatter the index across thousands of small
+    delta files (see compact_index). Safe here because foreachBatch
+    serializes batches: no append runs concurrently with the compact,
+    and the ledger/batch protocol is untouched (compaction never changes
+    logical content). A crash inside the compact leaves its phase marker;
+    the next stream start repairs it below."""
     if (Path(index_root) / _PENDING).exists():
         # last run crashed inside append: complete or roll back the
         # staged batch before ingesting more (see module doc)
         idx: AnnIndex = repair_append(spark, index_root)
+    elif (Path(index_root) / _COMPACT_PENDING).exists():
+        # last run crashed inside a compact_every maintenance pass:
+        # complete it forward or roll it back — either way the logical
+        # content is exactly what the ledger says was applied
+        idx = repair_compact(spark, index_root)
     else:
         idx = load_index(spark, index_root)
     ledger = Path(index_root) / "_ITEM_STREAM_BATCHES.json"
@@ -88,6 +106,7 @@ def ann_item_stream(
         return -1
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
+        nonlocal idx
         key = _ck_key()
         if batch_id <= _applied(key):
             return  # replayed batch whose append already committed
@@ -98,6 +117,12 @@ def ann_item_stream(
         data = json.loads(ledger.read_text()) if ledger.exists() else {}
         data[key] = batch_id
         ledger.write_text(json.dumps(data, sort_keys=True))
+        # maintenance AFTER the ledger commit: a compact crash never
+        # loses an applied batch, and a replayed (skipped) batch never
+        # re-triggers it
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            idx.unload()
+            idx = compact_index(spark, index_root)
 
     stream = spark.readStream.schema(item_schema).parquet(input_dir)
     writer = (

@@ -199,3 +199,45 @@ def test_crash_during_publish_completes_forward(
     # fully compacted: deltas collapsed despite the mid-flight crash
     counts_raw = spark.read.parquet(str(Path(root) / "counts"))
     assert counts_raw.groupBy("bucket").count().where("count > 1").count() == 0
+
+
+def test_item_stream_compact_every(spark, corpus, queries, tmp_path):
+    """compact_every on the ingest stream: maintenance fires after every
+    Nth applied batch, the delta history collapses, and everything keeps
+    serving + growing afterwards (the long-running daily-ingest shape)."""
+    from annoy_spark.streaming.ann_item_stream import ann_item_stream
+
+    base = corpus.where(F.col("vec_id") < 180)
+    wave1 = corpus.where((F.col("vec_id") >= 180) & (F.col("vec_id") < 270))
+    wave2 = corpus.where(F.col("vec_id") >= 270)
+    cfg = AnnIndexConfig(
+        kind="forest", metric="angular", n_trees=8, seed=42,
+        sample_fraction=1.0,
+    )
+    root = str(tmp_path / "idx")
+    build_index(spark, base, root, cfg)
+
+    inp, ck = str(tmp_path / "items_in"), str(tmp_path / "items_ck")
+    wave1.write.mode("append").parquet(inp)  # batch 0: no compact yet
+    assert ann_item_stream(
+        spark, root, inp, ck, compact_every=2
+    ).awaitTermination(300)
+    assert (
+        spark.read.parquet(str(Path(root) / "counts"))
+        .groupBy("bucket").count().where("count > 1").count() > 0
+    ), "batch 0 must leave un-collapsed deltas (compact not due yet)"
+
+    wave2.write.mode("append").parquet(inp)  # batch 1: compact fires
+    assert ann_item_stream(
+        spark, root, inp, ck, compact_every=2
+    ).awaitTermination(300)
+    assert (
+        spark.read.parquet(str(Path(root) / "counts"))
+        .groupBy("bucket").count().where("count > 1").count() == 0
+    ), "compact after batch 1 must collapse the delta history"
+    assert not (Path(root) / _COMPACT_PENDING).exists()
+
+    idx = load_index(spark, root)
+    assert idx.n_items() == corpus.count()
+    nids = {r.nid for r in idx.query(queries, k=10, spill_eps=0.15).collect()}
+    assert nids & {r.vec_id for r in wave2.select("vec_id").collect()}
