@@ -8,6 +8,12 @@
         append --items <parquet/table> --root <dir> [--no-check-ids]
 
     spark-submit ... submit_index.py \
+        compact --root <dir>       # small-file maintenance after appends
+
+    spark-submit ... submit_index.py \
+        repair --root <dir>        # resolve a crashed append/compact
+
+    spark-submit ... submit_index.py \
         query --root <dir> --queries <parquet/table> --output <parquet> \
               --k 10 [--spill-eps 0.1]
 
