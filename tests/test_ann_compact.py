@@ -241,3 +241,22 @@ def test_item_stream_compact_every(spark, corpus, queries, tmp_path):
     assert idx.n_items() == corpus.count()
     nids = {r.nid for r in idx.query(queries, k=10, spill_eps=0.15).collect()}
     assert nids & {r.vec_id for r in wave2.select("vec_id").collect()}
+
+
+def test_cli_repair_dispatches_on_compact_marker(spark, corpus, tmp_path):
+    """`submit_index repair` must resolve a torn COMPACT (not just a torn
+    append): the dispatcher picks repair_compact when its marker is
+    present — repair_append alone would raise on load."""
+    import annoy_spark.submit_index as cli
+
+    root = str(tmp_path / "idx")
+    cfg = AnnIndexConfig(
+        kind="forest", metric="angular", n_trees=8, seed=42,
+        sample_fraction=1.0,
+    )
+    build_index(spark, corpus, root, cfg)
+    (Path(root) / _COMPACT_PENDING).write_text(json.dumps({"phase": "staging"}))
+    (Path(root) / _COMPACT_STAGING / "buckets").mkdir(parents=True)
+    assert cli.main(["repair", "--root", root]) == 0
+    assert not (Path(root) / _COMPACT_PENDING).exists()
+    assert load_index(spark, root).n_items() == corpus.count()
