@@ -122,6 +122,23 @@ def main() -> None:
     ] = plan_of(idx.query(queries, k=3, spill_eps=0.1,
                           small_queries=False))
 
+    # after append + compact the serving plan must be SHAPE-IDENTICAL —
+    # compaction only changes file layout (fewer, bucket-sorted files),
+    # never the logical relations the plan is built from
+    from annoy_spark.sources.ann_index import compact_index
+
+    idx.unload()
+    from annoy_spark.sources.ann_index import append_index
+
+    append_index(spark, idx_root, emb.select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"))
+    cidx = compact_index(spark, idx_root)
+    sections[
+        "ANN INDEX QUERY AFTER APPEND+COMPACT (same plan shape over the "
+        "consolidated bucket-sorted artifacts — compaction is layout-only)"
+    ] = plan_of(cidx.query(queries, k=3, spill_eps=0.1,
+                           small_queries=True))
+
     out = ["# PLANS — physical plan evidence (auto-generated)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
     for title, text in sections.items():
