@@ -260,3 +260,26 @@ def test_cli_repair_dispatches_on_compact_marker(spark, corpus, tmp_path):
     assert cli.main(["repair", "--root", root]) == 0
     assert not (Path(root) / _COMPACT_PENDING).exists()
     assert load_index(spark, root).n_items() == corpus.count()
+
+
+def test_compact_lsh_dot_kind_bit_identical(spark, corpus, queries, tmp_path):
+    """Compaction is kind-agnostic: an lsh/dot index (seed-derived planes,
+    persisted MIPS max_n2) answers bit-identically after append+compact —
+    the artifacts are the same three relations on every kind."""
+    cfg = AnnIndexConfig(kind="lsh", metric="dot", n_tables=12, n_bits=6,
+                         seed=42)
+    root = str(tmp_path / "lsh_dot")
+    idx = build_index(spark, corpus.where(F.col("vec_id") < 300), root, cfg)
+    idx = idx.append(corpus.where(F.col("vec_id") >= 300))
+    before = sorted(
+        (r.qid, r.nid, r.rank, r.distance)
+        for r in idx.query(queries, k=10).collect()
+    )
+    idx.unload()
+    compacted = compact_index(spark, root)
+    assert "max_n2" in compacted.model.arrays
+    after = sorted(
+        (r.qid, r.nid, r.rank, r.distance)
+        for r in compacted.query(queries, k=10).collect()
+    )
+    assert len(before) > 0 and before == after
