@@ -37,10 +37,15 @@ from annoy_spark.sources.ann_index import (  # noqa: E402
 
 N_BASE = 40_000
 BATCH = 2_000
-N_APPENDS = 30
+N_APPENDS = 30  # override: python tools/bench_compact.py [n_appends [batch]]
 DIM = 32
 N_QUERIES = 500
 K = 10
+
+if len(sys.argv) > 1:
+    N_APPENDS = int(sys.argv[1])
+if len(sys.argv) > 2:
+    BATCH = int(sys.argv[2])
 
 
 def _vecs(spark, lo: int, hi: int, seed_salt: int):
