@@ -1213,7 +1213,11 @@ def compact_index(spark: SparkSession, root: str) -> AnnIndex:
     Crash-safe like ``append``: staged under a pending marker, published
     by idempotent renames; ``load_index`` refuses a torn compact and
     ``repair_compact`` completes (staging done) or rolls back (staging
-    incomplete — the live index was never touched)."""
+    incomplete — the live index was never touched). Like append, the
+    marker protocol assumes ONE writer per index root at a time (the
+    Iceberg store upgrades this to real optimistic-concurrency commits);
+    readers holding an already-loaded AnnIndex keep answering correctly
+    through a compact — the renamed artifacts are logically identical."""
     import shutil
 
     _check_pending(root)
