@@ -283,3 +283,20 @@ def test_compact_lsh_dot_kind_bit_identical(spark, corpus, queries, tmp_path):
         for r in compacted.query(queries, k=10).collect()
     )
     assert len(before) > 0 and before == after
+
+
+def test_compact_parts_sizing():
+    """Pure sizing contract: ~96MB/file at scale, a defaultParallelism
+    floor for mid-size artifacts (kept above ~4MB/file), never zero."""
+    from annoy_spark.sources.ann_index import _compact_parts
+
+    mb = 1 << 20
+    assert _compact_parts(1024, 32) == 1          # tiny -> one file
+    assert _compact_parts(28 * mb, 32) == 7       # floor: 4MB/file
+    assert _compact_parts(1024 * mb, 32) == 32    # floor binds at 1GB
+    assert _compact_parts(10 * 1024 * mb, 32) == 107  # 96MB target at scale
+    # the floor never pushes files below ~4MB on average
+    for n_bytes in (1, 3 * mb, 28 * mb, 200 * mb, 50 * 1024 * mb):
+        parts = _compact_parts(n_bytes, 32)
+        assert parts >= 1
+        assert n_bytes / parts >= 2 * mb or n_bytes < 8 * mb
