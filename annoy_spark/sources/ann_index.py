@@ -1296,6 +1296,79 @@ def repair_compact(spark: SparkSession, root: str) -> AnnIndex:
     return load_index(spark, root)
 
 
+def validate_index(spark: SparkSession, root: str) -> dict:
+    """fsck for a persisted index: recompute the cross-artifact invariants
+    from the stored relations and report violations. The append/compact
+    marker protocol makes OUR writes all-or-repairable, but it cannot see
+    external damage — a data file deleted by a retention job, a partial
+    copy between stores, a hand-edited counts table. Annoy's analog is
+    the load-time ``size % _s`` geometry check (annoylib.h:1185-1188);
+    these are the relational equivalents:
+
+    - ``n_items`` in meta == rows in the vectors relation;
+    - summed counts per bucket == a fresh recount of the bucket rows
+      (stale counts silently mis-derive the skew salts);
+    - no bucket row references a missing vector (un-rankable candidate);
+    - no stored vector is absent from every bucket (unfindable item).
+
+    Returns ``{"ok": bool, "n_items": int, "problems": [str, ...]}`` and
+    never raises on inconsistency — callers decide whether to rebuild.
+    One pass each over buckets/vectors (aggregation-only jobs); run it as
+    ``submit_index fsck`` after any out-of-band store surgery."""
+    _check_pending(root)
+    meta = _read_meta(root)
+    cfg = AnnIndexConfig.from_json(json.dumps(meta["config"]))
+    store = CheckpointStore(root, cfg)
+    vectors = store.read(spark, "vectors")
+    buckets = store.read(spark, "buckets")
+    counts = store.read(spark, "counts")
+    problems: list[str] = []
+
+    n_vec = vectors.count()
+    n_meta = meta.get("n_items")
+    if n_meta is not None and int(n_meta) != n_vec:
+        problems.append(
+            f"meta n_items={n_meta} but vectors relation has {n_vec} rows"
+        )
+
+    stored = counts.groupBy("bucket").agg(F.sum("gsize").alias("stored"))
+    fresh = _bucket_counts(buckets).withColumnRenamed("gsize", "fresh")
+    bad_counts = (
+        stored.join(fresh, "bucket", "full_outer")
+        .where(
+            F.coalesce("stored", F.lit(0)) != F.coalesce("fresh", F.lit(0))
+        )
+        .count()
+    )
+    if bad_counts:
+        problems.append(
+            f"{bad_counts} buckets where stored counts != recounted bucket "
+            "rows (skew salts would mis-derive)"
+        )
+
+    orphan = (
+        buckets.join(vectors.select("nid"), "nid", "left_anti").count()
+    )
+    if orphan:
+        problems.append(
+            f"{orphan} bucket rows reference ids with no stored vector "
+            "(candidates that cannot be re-ranked)"
+        )
+
+    unfindable = (
+        vectors.select("nid")
+        .join(buckets.select("nid").distinct(), "nid", "left_anti")
+        .count()
+    )
+    if unfindable:
+        problems.append(
+            f"{unfindable} stored vectors appear in no bucket "
+            "(items no query can ever find)"
+        )
+
+    return {"ok": not problems, "n_items": n_vec, "problems": problems}
+
+
 def knn_by_vector_approx(
     items: DataFrame,
     queries: DataFrame,

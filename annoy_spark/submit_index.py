@@ -94,6 +94,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     r.add_argument("--root", required=True)
 
+    f = sub.add_parser(
+        "fsck",
+        help="recompute cross-artifact invariants (meta n_items, counts "
+             "vs bucket rows, orphan/unfindable ids) and report problems",
+    )
+    f.add_argument("--root", required=True)
+
     c = sub.add_parser(
         "compact",
         help="rewrite the append-accumulated artifacts as one "
@@ -131,6 +138,7 @@ def main(argv: list[str] | None = None) -> int:
         load_index,
         repair_append,
         repair_compact,
+        validate_index,
     )
 
     spark = get_spark(f"annoy_spark_index_{args.cmd}")
@@ -184,6 +192,12 @@ def main(argv: list[str] | None = None) -> int:
             "wall_sec": round(time.time() - t0, 2),
         }))
         return 0
+
+    if args.cmd == "fsck":
+        report = validate_index(spark, args.root)
+        report["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 3
 
     if args.cmd == "compact":
         from pathlib import Path

@@ -300,3 +300,71 @@ def test_compact_parts_sizing():
         parts = _compact_parts(n_bytes, 32)
         assert parts >= 1
         assert n_bytes / parts >= 2 * mb or n_bytes < 8 * mb
+
+
+def test_validate_index_fsck(spark, corpus, tmp_path):
+    """validate_index: a healthy (appended) index reports ok; external
+    damage — a deleted bucket data file, a tampered counts table — is
+    detected with a named problem (the relational analog of annoy's
+    load-time `size % _s` geometry check)."""
+    import shutil
+
+    import annoy_spark.submit_index as cli
+    from annoy_spark.sources.ann_index import validate_index
+
+    root = str(tmp_path / "idx")
+    cfg = AnnIndexConfig(
+        kind="forest", metric="angular", n_trees=8, seed=42,
+        sample_fraction=1.0,
+    )
+    idx = build_index(spark, corpus.where(F.col("vec_id") < 300), root, cfg)
+    idx.append(corpus.where(F.col("vec_id") >= 300))
+
+    report = validate_index(spark, root)
+    assert report["ok"] and report["problems"] == []
+    assert report["n_items"] == corpus.count()
+    assert cli.main(["fsck", "--root", root]) == 0
+
+    # damage 1: delete a vectors data file -> meta mismatch + orphan
+    # bucket rows (+ possibly unfindable ids on other damage modes)
+    broken = str(tmp_path / "broken_vec")
+    shutil.copytree(root, broken)
+    victim = next(
+        f for f in (Path(broken) / "vectors").iterdir()
+        if f.name.endswith(".parquet")
+    )
+    victim.unlink()
+    spark.catalog.refreshByPath(str(Path(broken) / "vectors"))
+    report = validate_index(spark, broken)
+    assert not report["ok"]
+    assert any("no stored vector" in p for p in report["problems"])
+    assert any("n_items" in p for p in report["problems"])
+    assert cli.main(["fsck", "--root", broken]) == 3
+
+    # damage 2: delete a counts delta file -> stored sums drift
+    broken2 = str(tmp_path / "broken_counts")
+    shutil.copytree(root, broken2)
+    victim = next(
+        f for f in (Path(broken2) / "counts").iterdir()
+        if f.name.endswith(".parquet")
+    )
+    victim.unlink()
+    spark.catalog.refreshByPath(str(Path(broken2) / "counts"))
+    report = validate_index(spark, broken2)
+    assert not report["ok"]
+    assert any("stored counts" in p for p in report["problems"])
+
+    # damage 3: delete a buckets data file -> unfindable vectors
+    broken3 = str(tmp_path / "broken_buckets")
+    shutil.copytree(root, broken3)
+    victim = next(
+        f for f in (Path(broken3) / "buckets").iterdir()
+        if f.name.endswith(".parquet")
+    )
+    victim.unlink()
+    spark.catalog.refreshByPath(str(Path(broken3) / "buckets"))
+    report = validate_index(spark, broken3)
+    assert not report["ok"]
+    assert any(
+        "no bucket" in p or "stored counts" in p for p in report["problems"]
+    )
