@@ -1105,6 +1105,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["substring_pairs"] = _substring_pairs
     out["streaming_dedup_edges"] = _streaming_dedup_edges
     out["stateful_band_pairs"] = _stateful_band_pairs
+    # the three slowest gates run FIRST: the round-5 driver correctness run
+    # stopped after 50 entries, leaving exactly these three (then last)
+    # without a recorded row. Dict order is the driver's execution order;
+    # nothing about any query's SQL, fixture, or result changes.
+    heavy_first = (
+        "substring_pairs", "streaming_dedup_edges", "stateful_band_pairs",
+    )
+    out = {
+        **{name: out[name] for name in heavy_first},
+        **{n: f for n, f in out.items() if n not in heavy_first},
+    }
     return out
 
 

@@ -453,7 +453,7 @@ FROM ranked WHERE rn <= {KNN_K}"""
 def simhash_signatures_sql_spark() -> str:
     """Spark-side (doc_id, sig) table feeding signature-typed operators
     (the pigeonhole all-pairs product operator, hamming k-NN)."""
-    return f"WITH {_simhash_ctes(SPARK)}\nSELECT doc_id, sig FROM sim"
+    return simhash_signatures_sql_spark_fast()
 
 
 def q_substring_pairs_duck(min_len: int) -> str:
@@ -756,8 +756,9 @@ edges AS (
 
 
 def duplicate_clusters_edges_sql_spark() -> str:
-    """Spark-side edge list feeding the iterative CC operator."""
-    return f"WITH {_edges_prologue(SPARK)}\nSELECT u, v FROM edges"
+    """Spark-side edge list feeding the iterative CC operator (round-6 fast
+    chain; the DuckDB oracle keeps the _edges_prologue reference text)."""
+    return duplicate_clusters_edges_sql_spark_fast()
 
 
 def duplicate_clusters_nodes_sql_spark() -> str:
@@ -826,7 +827,220 @@ TEMPLATES = {
 }
 
 
+# --------------------------------------------------------------------------
+# Spark-side fast rewrites (round 6). The TEMPLATES above remain the shared
+# reference semantics and the DuckDB oracle text (FROZEN); these generators
+# emit restructured Spark SQL computing the IDENTICAL result set:
+#
+# - the tiny single-row-group parquet inputs give the scan ONE partition, so
+#   every expression before the first Exchange ran on one core; an explicit
+#   REPARTITION hint (guide §2.4/§6.1 — scan parallelism floor) spreads the
+#   tokenize/shingle chain across the cluster. The partition count derives
+#   from SPARK_GRAFT_CPUS (scale-adaptive, never a hard-coded local value).
+# - Spark inlines every CTE per reference (jaccard_pairs computed the full
+#   shingle chain 4x, minhash_lsh_pairs 12x — plans/r06/*_before.txt); the
+#   rewrites reference heavy CTEs once, carry per-doc shingle counts through
+#   the explode instead of re-deriving a `sizes` relation, verify candidates
+#   with array_intersect on per-doc arrays instead of an explode join, and
+#   use SHUFFLE_HASH hints so identical self-join sides land behind one
+#   reused Exchange (guide §2.4).
+# - where only shingle EQUALITY matters (jaccard/cc edges), xxhash64 over
+#   token windows replaces md5-string shingles (guide §2.3 narrower types:
+#   8-byte join keys, no string materialization). Collision odds over ~1e6
+#   distinct shingles are ~1e-7 — the same noise floor the streaming gates
+#   already document. Where signature VALUES are part of the result
+#   (minhash/simhash), the md5 arithmetic is kept bit-identical.
+# --------------------------------------------------------------------------
+
+def _repartition_n() -> int:
+    import os
+
+    return 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _corpus_cte_fast() -> str:
+    return f"""corpus AS (
+  SELECT /*+ REPARTITION({_repartition_n()}, doc_id) */ doc_id, text FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+    UNION ALL
+    SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id,
+           substr(text, 15) AS text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT CAST(doc_id + 2000000 AS BIGINT) AS doc_id, text
+    FROM documents WHERE doc_id % 7 = 0
+  )
+)"""
+
+
+_TOKENS_FAST = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# `WHERE size(t) >= 1` re-derives the token array inside the pushed filter;
+# `lower(text) RLIKE '[a-z0-9]'` is the same predicate on the raw string
+_NONEMPTY_FAST = "lower(text) RLIKE '[a-z0-9]'"
+
+
+def _shingle_hash_ctes_fast() -> str:
+    """corpus -> per-doc distinct xxhash64 shingle hashes (equality-only
+    semantics) -> exploded rows carrying the per-doc distinct count."""
+    k = SHINGLE_K
+    sh = (
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> xxhash64(slice(t, i, {k}))) "
+        f"ELSE array(xxhash64(t)) END"
+    )
+    return f"""{_corpus_cte_fast()},
+toks AS (
+  SELECT doc_id, {_TOKENS_FAST} AS t FROM corpus WHERE {_NONEMPTY_FAST}
+),
+sh AS (
+  SELECT doc_id, array_distinct({sh}) AS s_arr FROM toks
+),
+shx AS (
+  SELECT doc_id, size(s_arr) AS n, explode(s_arr) AS s FROM sh
+)"""
+
+
+def _shingle_str_ctes_fast() -> str:
+    """Same chain with the original STRING shingles (md5-derived signature
+    values must stay bit-identical to the oracle)."""
+    k = SHINGLE_K
+    sh = (
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {k}))) "
+        f"ELSE array(concat_ws(' ', t)) END"
+    )
+    return f"""{_corpus_cte_fast()},
+toks AS (
+  SELECT doc_id, {_TOKENS_FAST} AS t FROM corpus WHERE {_NONEMPTY_FAST}
+),
+sh AS (
+  SELECT doc_id, array_distinct({sh}) AS s_arr FROM toks
+),
+shx AS (
+  SELECT doc_id, size(s_arr) AS n, explode(s_arr) AS s FROM sh
+)"""
+
+
+_JAC_FAST = "CAST(ni AS DOUBLE) / CAST(n_u + n_v - ni AS DOUBLE)"
+
+
+def _jaccard_pairs_fast_prologue() -> str:
+    """CTE chain ending in `scored` (u, v, jaccard) over all pairs sharing
+    >= 1 shingle — single chain reference, counts carried through explode."""
+    return f"""{_shingle_hash_ctes_fast()},
+inter AS (
+  SELECT /*+ SHUFFLE_HASH(a) */ a.doc_id AS u, b.doc_id AS v,
+         COUNT(*) AS ni, MAX(a.n) AS n_u, MAX(b.n) AS n_v
+  FROM shx a JOIN shx b ON b.s = a.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT u, v, {_JAC_FAST} AS jaccard FROM inter
+)"""
+
+
+def q_jaccard_pairs_spark_fast() -> str:
+    return f"""WITH {_jaccard_pairs_fast_prologue()}
+{_JACCARD_FINAL.format(s=JACCARD_S)}"""
+
+
+def q_minhash_lsh_pairs_spark_fast() -> str:
+    mins = ",\n    ".join(
+        f"min(({MINHASH_A[i]} * (h % {MERSENNE_P}) + {MINHASH_B[i]})"
+        f" % {MERSENNE_P}) AS m{i}"
+        for i in range(GATE_N_PERM)
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(
+            f"CAST(m{b * GATE_ROWS + r} AS STRING)" for r in range(GATE_ROWS)
+        )
+        + ")"
+        for b in range(GATE_BANDS)
+    )
+    return f"""WITH {_shingle_str_ctes_fast()},
+hx AS (
+  SELECT doc_id, {SPARK.hex2int('s', 8)} AS h FROM shx
+),
+mh AS (
+  SELECT doc_id,
+    {mins}
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band, bkey
+  FROM mh LATERAL VIEW posexplode(array({band_keys})) AS band, bkey
+),
+cand AS (
+  SELECT /*+ SHUFFLE_HASH(a) */ DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT /*+ SHUFFLE_HASH(su, sv) */ c.u, c.v,
+         size(array_intersect(su.s_arr, sv.s_arr)) AS ni,
+         size(su.s_arr) AS n_u, size(sv.s_arr) AS n_v
+  FROM cand c
+  JOIN sh su ON su.doc_id = c.u
+  JOIN sh sv ON sv.doc_id = c.v
+),
+scored AS (
+  SELECT u, v, {_JAC_FAST} AS jaccard FROM inter
+)
+{_JACCARD_FINAL.format(s=JACCARD_S)}"""
+
+
+def _simhash_fast_ctes() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * {SPARK.big_sum(f'({SPARK.shiftright(chr(104), j)}) % 2')} > COUNT(*) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""{_shingle_str_ctes_fast()},
+sx AS (
+  SELECT doc_id, {SPARK.hex2int('s', 15)} AS h FROM shx
+),
+sim AS (
+  SELECT doc_id, {terms} AS sig FROM sx GROUP BY doc_id
+)"""
+
+
+def q_simhash_hamming_pairs_spark_fast() -> str:
+    ham = SPARK.bit_count(SPARK.xor("a.sig", "b.sig"))
+    return f"""WITH {_simhash_fast_ctes()},
+sima AS (
+  SELECT /*+ REPARTITION({_repartition_n()}, doc_id) */ doc_id, sig FROM sim
+)
+SELECT /*+ BROADCAST(b) */
+  a.doc_id AS u, b.doc_id AS v, CAST({ham} AS BIGINT) AS hamming
+FROM sima a JOIN sim b ON a.doc_id < b.doc_id
+WHERE {ham} <= {HAMMING_T}"""
+
+
+def simhash_signatures_sql_spark_fast() -> str:
+    return f"WITH {_simhash_fast_ctes()}\nSELECT doc_id, sig FROM sim"
+
+
+def duplicate_clusters_edges_sql_spark_fast() -> str:
+    return f"""WITH {_jaccard_pairs_fast_prologue()},
+edges AS (
+  SELECT u, v FROM scored WHERE jaccard >= {JACCARD_S}
+)
+SELECT u, v FROM edges"""
+
+
+_SPARK_FAST = {
+    "jaccard_pairs": q_jaccard_pairs_spark_fast,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs_spark_fast,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs_spark_fast,
+}
+
+
 def spark_sql_for(name: str) -> str:
+    if name in _SPARK_FAST:
+        return _SPARK_FAST[name]()
     return TEMPLATES[name](SPARK)
 
 

@@ -44,7 +44,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    dir_ = _canonical(edges)  # u > v for every edge
+    # input contract: edges already directed high -> low and loop-free
+    # (_large_star emits (v, m) with v > u >= m); duplicates are tolerated —
+    # min() ignores them and the caller's _canonical dedups the output — so
+    # the old canonicalize-first pass (an extra distinct exchange per
+    # iteration) is skipped (guide §2.4: remove shuffles outright).
+    dir_ = edges
     mins = dir_.groupBy("u").agg(F.min("v").alias("m"))
     moved = (
         dir_.join(mins, "u")
@@ -75,10 +80,13 @@ def connected_components(
     node_col) adds singleton components. Deterministic: output depends only
     on the edge *set*, never on partitioning or row order.
     """
-    e = _canonical(edges).localCheckpoint(eager=True)
+    # lazy localCheckpoint: the checksum action right after materializes the
+    # checkpoint in the SAME job, halving the actions per iteration (the
+    # eager variant ran a materialize job plus a checksum job)
+    e = _canonical(edges).localCheckpoint(eager=False)
     prev = _checksum(e)
     for _ in range(max_iters):
-        e = _canonical(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        e = _canonical(_small_star(_large_star(e))).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             break

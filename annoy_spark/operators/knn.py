@@ -404,6 +404,15 @@ def knn_lsh(
 
     dim = len(items.select(vec_col).first()[0])
 
+    # parallelism floor (guide §6.1): a small single-row-group parquet scan
+    # yields ONE partition, serializing the key UDF + bucket explode that
+    # ride the scan. Repartition only when the input is under-split; at
+    # scale the scan already has >= defaultParallelism splits and this is
+    # a no-op (no constant tuned to local mode).
+    target = items.sparkSession.sparkContext.defaultParallelism
+    if items.rdd.getNumPartitions() < target:
+        items = items.repartition(target, id_col)
+
     if metric == "dot":
         raw = F.col(vec_col).cast("array<double>")
         # one scalar aggregate (metadata-scale collect, like the dim probe)

@@ -836,6 +836,12 @@ def _sliced_verify(
         (~F.col("capped")) & (F.col("match_len") >= cfg.min_substring_len)
     ).select("u", "v", "match_len")
     if n_esc == 0:
+        # materialize the narrow edge rows from the cached verifier output,
+        # then release the cache — the old code returned a lazy filter over
+        # `sliced` and the persisted partitions leaked for the session
+        # lifetime (ADVICE r5; guide §5 "unpersist when done")
+        final = final.localCheckpoint(eager=True)
+        sliced.unpersist()
         return final
     esc = sliced.where("capped").select("u", "v")
     # the escalated pair set obeys the same broadcast cap as every other
@@ -848,4 +854,6 @@ def _sliced_verify(
     esc_edges = _full_content_verify(
         esc_anchored, content, cfg, broadcast_pairs=esc_bcast
     )
-    return final.unionByName(esc_edges)
+    out = final.unionByName(esc_edges).localCheckpoint(eager=True)
+    sliced.unpersist()
+    return out

@@ -31,6 +31,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate copies the generator's (often huge)
+        # array expression into an extra Filter below every explode, so the
+        # shingle/band-key transforms were evaluated 2-3x per row (visible
+        # in plans/r06/*_before.txt). The rule only prunes rows explode
+        # would drop anyway — excluding it is semantics-neutral (guide §7.2
+        # duplicated-subtree check).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         # big `content` strings: bound Arrow batch memory, the real knob
         # (SURVEY.md §4 — replaces annoy's -march=native build flags)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

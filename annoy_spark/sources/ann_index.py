@@ -1056,8 +1056,13 @@ def load_index(
         raise ValueError(f"corrupt index meta under {root}")
     if expected is not None:
         # dim is inferred at build; an expectation with dim=0 asserts every
-        # OTHER knob (the caller did not know the dimension up front)
+        # OTHER knob (the caller did not know the dimension up front).
+        # n_trees=-1 (auto-size) is likewise resolved at build time, so the
+        # sentinel in the expectation must be resolved the same way before
+        # the hashes can match (ADVICE r5).
         exp = expected if expected.dim else replace(expected, dim=cfg.dim)
+        if exp.n_trees == -1 and cfg.n_trees != -1:
+            exp = replace(exp, n_trees=cfg.n_trees)
         if exp.config_hash() != cfg.config_hash():
             raise ValueError(
                 f"index at {root} was built with config {cfg.config_hash()} "
@@ -1215,9 +1220,14 @@ def compact_index(spark: SparkSession, root: str) -> AnnIndex:
     ``repair_compact`` completes (staging done) or rolls back (staging
     incomplete — the live index was never touched). Like append, the
     marker protocol assumes ONE writer per index root at a time (the
-    Iceberg store upgrades this to real optimistic-concurrency commits);
-    readers holding an already-loaded AnnIndex keep answering correctly
-    through a compact — the renamed artifacts are logically identical."""
+    Iceberg store upgrades this to real optimistic-concurrency commits).
+    Concurrent READERS must re-open (load_index) after a compact on the
+    parquet store: a loaded AnnIndex holds Spark file listings over the
+    pre-compact part files, which _publish_compact deletes, so its next
+    query fails loudly with FileNotFoundException rather than answering
+    from mixed artifacts. Only the Iceberg store's snapshot isolation
+    gives true read-through-compact (readers pinned to the old
+    snapshot)."""
     import shutil
 
     _check_pending(root)

@@ -132,24 +132,43 @@ class CheckpointStore:
 
     # --- lineage ---------------------------------------------------------
     def log_lineage(self, spark: SparkSession, row: dict) -> None:
-        """Append one metrics row (stage, counts, durations, config hash)."""
+        """Append one metrics row (stage, counts, durations, config hash).
+
+        Written driver-side with pyarrow: the row is a handful of scalars
+        already on the driver, and the old ``spark.createDataFrame(...).
+        write`` path cost two Spark jobs per pipeline stage for it (pure
+        per-stage overhead at bench scale, guide §1.2 step 2). The file is
+        ordinary parquet; ``lineage()`` reads it back unchanged."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         payload = {
             "config_hash": self.cfg.config_hash(),
             "ts": float(time.time()),
             **{k: (json.dumps(v) if isinstance(v, (dict, list)) else v)
                for k, v in row.items()},
         }
-        df = spark.createDataFrame(
-            [(payload.get("stage", "?"),
-              float(payload.get("duration_s", 0.0)),
-              int(payload.get("n_rows", -1)),
-              payload["config_hash"],
-              payload["ts"],
-              json.dumps(payload, sort_keys=True))],
-            "stage string, duration_s double, n_rows long, "
-            "config_hash string, ts double, detail string",
+        table = pa.table(
+            {
+                "stage": [str(payload.get("stage", "?"))],
+                "duration_s": pa.array(
+                    [float(payload.get("duration_s", 0.0))], pa.float64()
+                ),
+                "n_rows": pa.array(
+                    [int(payload.get("n_rows", -1))], pa.int64()
+                ),
+                "config_hash": [payload["config_hash"]],
+                "ts": pa.array([payload["ts"]], pa.float64()),
+                "detail": [json.dumps(payload, sort_keys=True)],
+            }
         )
-        df.write.mode("append").parquet(str(self.root / "lineage"))
+        d = self.root / "lineage"
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            table,
+            d / f"part-{time.time_ns():020d}-"
+                f"{payload.get('stage', 'x')}.parquet",
+        )
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(str(self.root / "lineage"))

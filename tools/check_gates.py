@@ -58,10 +58,21 @@ def main() -> int:
             pass
 
     qs, oracles = E.queries(), E.oracle_sql()
+    # every registered gate must have an oracle twin — a truncated or
+    # partially-registered run is a loud failure, not a silent gap
+    # (round-5 driver artifact recorded 50 of 53 registered gates)
+    missing_oracle = [n for n in qs if n not in oracles]
+    assert not missing_oracle, f"gates without oracle SQL: {missing_oracle}"
+    assert len(qs) == len(oracles) == 53, (
+        f"expected 53 registered gates with 53 oracles, got "
+        f"{len(qs)}/{len(oracles)}"
+    )
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -103,6 +114,8 @@ def main() -> int:
                 diff = merged[merged["_merge"] != "both"]
                 print(diff.head(10).to_string())
 
+    if not only and ran != len(qs):
+        failures.append(f"__truncated__({ran}/{len(qs)})")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL GREEN")
     return 1 if failures else 0
 
