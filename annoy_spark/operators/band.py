@@ -98,6 +98,13 @@ def candidate_edges(
         F.min("file_id").over(w).alias("gmin"),
         F.count(F.lit(1)).over(w).alias("gsize"),
     )
+    # materialize ONCE: five consumers reference this relation (skipped +
+    # three tiers, twice in the tier-1 self-join) and Spark re-ran the
+    # explode + window sort per reference (guide §2.4 / §5). Narrow rows
+    # (5 int64-ish cols); lazily checkpointed — the first consumer's job
+    # materializes it. Block loss just fails the pipeline stage, which the
+    # per-stage checkpoint protocol already re-runs from `signatures`.
+    annotated = annotated.localCheckpoint(eager=False)
 
     skipped = (
         annotated.where(F.col("gsize") > cfg.band_group_cap)

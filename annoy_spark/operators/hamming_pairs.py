@@ -25,7 +25,7 @@ sha-collapsed representatives if family expansion is unwanted).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _block_value(sig_col: str, lo: int, width: int) -> Column:
@@ -76,20 +76,24 @@ def hamming_pairs(
         for j in range(nb)
     ]
 
+    # distinct-signature collapse keyed on the packed word ARRAY itself
+    # (array<long> equality is exact) — the old string skey concat shuffled
+    # ~40-byte keys everywhere and paid a per-row string build (guide §2.3:
+    # narrower types). Downstream pair keys are the int64 rep ids.
     keyed = signatures.select(
-        F.col(id_col).alias("id"),
-        F.col(sig_col).alias("sig"),
-        F.concat_ws(
-            "_", F.transform(sig_col, lambda x: x.cast("string"))
-        ).alias("skey"),
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
     )
-    # one representative per DISTINCT signature (exact-dup collapse)
-    reps = keyed.groupBy("skey").agg(
-        F.min("id").alias("rid"), F.first("sig").alias("sig")
-    )
+    # one representative per DISTINCT signature (exact-dup collapse); the
+    # member id -> rep id mapping rides the same window pass, so members
+    # join back on an 8-byte rid instead of the signature value
+    wsig = Window.partitionBy("sig")
+    with_rep = keyed.select(
+        "id", "sig", F.min("id").over(wsig).alias("rid")
+    ).localCheckpoint(eager=False)
+    reps = with_rep.where(F.col("id") == F.col("rid")).select("rid", "sig")
 
     rep_blocks = reps.select(
-        "rid", "skey", "sig",
+        "rid", "sig",
         F.posexplode(F.array(*blocks)).alias("blk", "bval"),
     )
     sig_pairs = (
@@ -97,24 +101,24 @@ def hamming_pairs(
         .join(rep_blocks.alias("b"), ["blk", "bval"])
         .where(F.col("a.rid") < F.col("b.rid"))
         .select(
-            F.col("a.skey").alias("ka"), F.col("b.skey").alias("kb"),
+            F.col("a.rid").alias("ra"), F.col("b.rid").alias("rb"),
             F.col("a.sig").alias("sa"), F.col("b.sig").alias("sb"),
         )
-        .dropDuplicates(["ka", "kb"])
+        .dropDuplicates(["ra", "rb"])
         .withColumn("hamming", _popcount_xor("sa", "sb"))
         .where(F.col("hamming") <= t)
-        .select("ka", "kb", "hamming")
+        .select("ra", "rb", "hamming")
     )
 
-    members = keyed.select("id", "skey")
+    members = with_rep.select("id", "rid")
     cross = (
         sig_pairs.join(
-            members.select(F.col("id").alias("ia"), F.col("skey").alias("ka")),
-            "ka",
+            members.select(F.col("id").alias("ia"), F.col("rid").alias("ra")),
+            "ra",
         )
         .join(
-            members.select(F.col("id").alias("ib"), F.col("skey").alias("kb")),
-            "kb",
+            members.select(F.col("id").alias("ib"), F.col("rid").alias("rb")),
+            "rb",
         )
         .select(
             F.least("ia", "ib").alias("u"),
@@ -124,7 +128,7 @@ def hamming_pairs(
     )
     within = (
         members.alias("a")
-        .join(members.alias("b"), "skey")
+        .join(members.alias("b"), "rid")
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("u"), F.col("b.id").alias("v"),

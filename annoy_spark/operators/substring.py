@@ -674,10 +674,15 @@ def substring_edges(
     )
     # materialize the (small) anchored set once: cuts the UDF lineage so
     # fps can be unpersisted, and gives an exact count for the adaptive
-    # broadcast decision
-    anchored = anchored.localCheckpoint(eager=True)
+    # broadcast decision. Lazy when the count follows immediately — the
+    # count then materializes the checkpoint in the same job (one pass,
+    # not two); eager when the caller pinned broadcast_pairs, because the
+    # checkpoint MUST exist before fps.unpersist() below.
     if broadcast_pairs is None:
+        anchored = anchored.localCheckpoint(eager=False)
         broadcast_pairs = anchored.count() <= PAIR_BROADCAST_CAP
+    else:
+        anchored = anchored.localCheckpoint(eager=True)
     if return_skipped:
         # consumed after fps is unpersisted -> cut its lineage now
         skipped = skipped.localCheckpoint(eager=True)

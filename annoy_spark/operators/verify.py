@@ -210,9 +210,12 @@ def verify_with_rescue(
     )
     if cfg.star_rescue_cap <= 0:
         return verify(candidates, signatures, cfg, small_candidates)
+    # lazy: the rescue path's isEmpty() below is the first action and
+    # materializes the checkpoint in the same job (the eager form paid a
+    # separate materialization pass first)
     scored = _score_lsh(
         candidates, signatures, cfg, small_candidates
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     passed = scored.where(_pass_expr(cfg)).select(
         "u", "v", "kind", "jaccard", "hamming"
     )
