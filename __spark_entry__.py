@@ -117,7 +117,7 @@ def _hamming_pairs_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     sim = spark.sql(G.simhash_signatures_sql_spark()).select(
         "doc_id", F.array("sig").alias("sig")
-    )
+    ).localCheckpoint(eager=False)  # 3-6 consumers; compute the chain once
     return hamming_pairs(sim, t=G.HAMMING_T, n_bits=G.SIMHASH_BITS)
 
 
@@ -340,7 +340,7 @@ def _knn_hamming_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     sim = spark.sql(G.simhash_signatures_sql_spark()).select(
         "doc_id", F.array("sig").alias("sig")
-    )
+    ).localCheckpoint(eager=False)  # 3-6 consumers; compute the chain once
     approx = knn_lsh(
         sim, k=10, n_tables=32, n_bits=4, seed=42, metric="hamming",
         id_col="doc_id", vec_col="sig",
@@ -673,7 +673,7 @@ def _knn_forest_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     sim = spark.sql(G.simhash_signatures_sql_spark()).select(
         "doc_id", F.array("sig").alias("sig")
-    )
+    ).localCheckpoint(eager=False)  # 3-6 consumers; compute the chain once
     approx = knn_forest(
         sim, k=10, n_trees=32, leaf_cap=16, seed=42, metric="hamming",
         id_col="doc_id", vec_col="sig", sample_fraction=1.0,
@@ -712,7 +712,7 @@ def _knn_forest_hamming_spill_recall(
     _register(spark, sf_dir)
     sim = spark.sql(G.simhash_signatures_sql_spark()).select(
         "doc_id", F.array("sig").alias("sig")
-    )
+    ).localCheckpoint(eager=False)  # 3-6 consumers; compute the chain once
     qs = sim.where(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "sig"
     )
@@ -763,7 +763,7 @@ def _knn_ivf_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     sim = spark.sql(G.simhash_signatures_sql_spark()).select(
         "doc_id", F.array("sig").alias("sig")
-    )
+    ).localCheckpoint(eager=False)  # 3-6 consumers; compute the chain once
     approx = knn_ivf(
         sim, k=10, n_centroids=16, nprobe=8, seed=42, metric="hamming",
         id_col="doc_id", vec_col="sig", sample_fraction=1.0,

@@ -185,6 +185,8 @@ def minhash_batch(hashes: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
         np.mod(hp, MERSENNE_P, out=hp)
         nz = np.flatnonzero(lens)
         buf = np.empty(_CHUNK + 1, dtype=np.uint64)
+        tb = np.empty(_CHUNK + 1, dtype=np.uint64)
+        sh31 = np.uint64(31)
         # cache blocking: the 128-perm loop runs over an L2-resident slice —
         # streaming the whole batch per perm is DRAM-bandwidth-bound and
         # stops scaling past ~8 cores (measured)
@@ -192,13 +194,26 @@ def minhash_batch(hashes: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
             seg = hp[lo:hi]
             if len(seg) > len(buf):  # one oversized row can exceed _CHUNK
                 buf = np.empty(len(seg), dtype=np.uint64)
-            sbuf = buf[: len(seg)]
+                tb = np.empty(len(seg), dtype=np.uint64)
+            sbuf, stb = buf[: len(seg)], tb[: len(seg)]
             soff = offsets[nz[rs:re_]] - lo
             rows_idx = nz[rs:re_]
             for p in range(n_perm):
                 np.multiply(seg, a[p], out=sbuf)
                 np.add(sbuf, b[p], out=sbuf)
-                np.mod(sbuf, MERSENNE_P, out=sbuf)
+                # x mod (2^31-1) WITHOUT the uint64 division (np.mod was
+                # the hot loop's dominant op — hardware integer division):
+                # 2^31 ≡ 1 (mod P), so fold x = q·2^31 + r -> q + r twice
+                # (x < 2^62 -> < 2^32 -> <= P+1), then one conditional
+                # subtract via unsigned-wrap minimum. Bit-identical result.
+                np.right_shift(sbuf, sh31, out=stb)
+                np.bitwise_and(sbuf, MERSENNE_P, out=sbuf)
+                np.add(sbuf, stb, out=sbuf)          # < 2^32
+                np.right_shift(sbuf, sh31, out=stb)
+                np.bitwise_and(sbuf, MERSENNE_P, out=sbuf)
+                np.add(sbuf, stb, out=sbuf)          # <= P + 1
+                np.subtract(sbuf, MERSENNE_P, out=stb)  # wraps when < P
+                np.minimum(sbuf, stb, out=sbuf)
                 out[rows_idx, p] = np.minimum.reduceat(sbuf, soff)
     return pd.Series(list(out))
 
@@ -241,6 +256,11 @@ def simhash_batch(hashes: pd.Series, bits: int, seed: int) -> pd.Series:
                 np.multiply(shw, np.uint64(0xFF51AFD7ED558CCD), out=shw)
                 np.right_shift(shw, np.uint64(33), out=stmp)
                 np.bitwise_xor(shw, stmp, out=shw)
+                # per-bit shift/mask/reduceat over the L2-resident chunk.
+                # (A measured dead end: transposing to a (n, 64) uint8 bit
+                # matrix via unpackbits + one axis-0 reduceat was 2.2x
+                # SLOWER — the 64x-wider intermediate trades cache-resident
+                # passes for DRAM traffic. Kept the loop.)
                 word = np.zeros(len(rows_idx), dtype=np.uint64)
                 for j in range(64):
                     np.right_shift(shw, np.uint64(j), out=stmp)

@@ -558,18 +558,30 @@ def knn_forest(
             F.col(id_col).alias("id"), raw.alias("v"),
             leaves(raw).alias("keys"),
         )
+    # ids only through the (tree, leaf) self-join; dedup the narrow
+    # (qid, nid) pairs BEFORE re-attaching vectors, so the interpreted
+    # higher-order distance runs once per distinct pair instead of once
+    # per co-leaf occurrence (~n_trees x with spill; guide §2.3/§8 —
+    # same shape as knn_lsh and the stored-index serving path)
     buckets = _cap_buckets(
-        base.select("id", "v", F.explode("keys").alias("bucket")), bucket_cap
+        base.select("id", F.explode("keys").alias("bucket")), bucket_cap
     )
-    cand = (
+    vecs = base.select("id", "v")
+    pairs = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["bucket", "salt"])
         .where(F.col("a.id") != F.col("b.id"))
-        .select(
-            F.col("a.id").alias("qid"),
-            F.col("b.id").alias("nid"),
-            F.col("a.v").alias("qv"),
-            F.col("b.v").alias("nv"),
+        .select(F.col("a.id").alias("qid"), F.col("b.id").alias("nid"))
+        .dropDuplicates(["qid", "nid"])
+    )
+    cand = (
+        pairs.join(
+            vecs.select(F.col("id").alias("qid"), F.col("v").alias("qv")),
+            "qid",
+        )
+        .join(
+            vecs.select(F.col("id").alias("nid"), F.col("v").alias("nv")),
+            "nid",
         )
     )
     if metric == "angular":
@@ -592,4 +604,4 @@ def knn_forest(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).cast("double")
-    return _topk(cand, d, k)
+    return _topk(cand, d, k, dedup=False)  # pairs deduped above

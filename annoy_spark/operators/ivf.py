@@ -269,6 +269,9 @@ def knn_ivf(
             probes(F.col(vec_col).cast("array<double>")).alias("cells"),
         )
         vec = "unit_vec" if metric == "angular" else "raw"
+    # both the assignment side and the probe side read `base`; without a
+    # materialization the items chain AND the probe pandas UDF ran twice
+    base = base.localCheckpoint(eager=False)
     assign = base.select(
         F.col("id").alias("nid"), F.col(vec).alias("nv"),
         F.element_at("cells", 1).alias("cid"),
@@ -321,4 +324,7 @@ def knn_ivf(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).cast("double")
-    return _topk(cand, d, k)
+    # (qid, nid) is already unique here: an item lives in exactly one
+    # (cell, salt) and each probe covers every salt of a cell once, so the
+    # legacy dropDuplicates was a pure no-op exchange
+    return _topk(cand, d, k, dedup=False)

@@ -174,19 +174,16 @@ def knn_bruteforce(
     )
 
 
-def _topk(cand: DataFrame, d: F.Column, k: int) -> DataFrame:
-    """Score-then-dedup top-k tail shared by the approximate paths: the
-    distance is computed map-side right off the bucket join (while the
-    vectors still ride the row), so the candidate-dedup exchange carries
-    only (qid, nid, distance) — ~24 B/row instead of 2·dim·8 B. Duplicated
-    pairs (the same pair proposed by several buckets) are scored more than
-    once, but the score is a pure function of the pair, so dropDuplicates
-    keeps a correct row; the extra scoring is cheap codegen'd CPU traded
-    for halving the shuffled bytes at scale."""
-    scored = (
-        cand.select("qid", "nid", d.alias("distance"))
-        .dropDuplicates(["qid", "nid"])
-    )
+def _topk(cand: DataFrame, d: F.Column, k: int, dedup: bool = True) -> DataFrame:
+    """Top-k tail shared by the approximate paths. dedup=True keeps the
+    legacy score-then-dedup behavior for callers whose candidate rows can
+    repeat; pass dedup=False when (qid, nid) is already distinct (IVF's
+    replicated skew join matches each pair exactly once; knn_lsh/forest
+    now dedup the narrow id pairs BEFORE attaching vectors) — the
+    dropDuplicates exchange is then a pure no-op shuffle."""
+    scored = cand.select("qid", "nid", d.alias("distance"))
+    if dedup:
+        scored = scored.dropDuplicates(["qid", "nid"])
     w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -413,6 +410,22 @@ def knn_lsh(
     if items.rdd.getNumPartitions() < target:
         items = items.repartition(target, id_col)
 
+    # Candidate assembly (round 6, guide §2.3/§8) with ADAPTIVE dedup
+    # placement. Coarse buckets (expected items per bucket >> k): every
+    # pair is proposed by ~n_tables tables, so the 16-byte (qid, nid)
+    # pairs are deduplicated FIRST and vectors re-attached afterwards —
+    # the interpreted higher-order distance then runs once per distinct
+    # pair (cut the 4-bit p-stable recall gate 14.3 s -> ~3 s), and at
+    # scale the dedup exchange carries ids, not vectors (the stored-index
+    # serving shape). Fine buckets (duplication ~1): vectors ride the
+    # bucket rows and the narrow (qid, nid, distance) rows dedup AFTER
+    # scoring (round-5 shape) — early dedup + re-attach joins are pure
+    # overhead there. The switch derives from the data (count vs key
+    # space), never from a local-mode constant; the count is one cheap
+    # probe next to the existing dim probe.
+    n_items = items.count()
+    dedup_first = n_items > (1 << n_bits) * 2 * k
+
     if metric == "dot":
         raw = F.col(vec_col).cast("array<double>")
         # one scalar aggregate (metadata-scale collect, like the dim probe)
@@ -427,54 +440,20 @@ def knn_lsh(
         keys = hyperplane_keys_udf(dim + 1, n_tables, n_bits, seed)
         base = items.select(
             F.col(id_col).alias("id"),
-            raw.alias("raw"),
+            raw.alias("v"),
             keys(aug_item).alias("ikeys"),
             keys(aug_query).alias("qkeys"),
         )
-        qbuckets = _cap_buckets(
-            base.select("id", F.col("raw").alias("qraw"),
-                        F.explode("qkeys").alias("bucket")),
-            bucket_cap,
-        )
-        ibuckets = _cap_buckets(
-            base.select("id", F.col("raw").alias("nraw"),
-                        F.explode("ikeys").alias("bucket")),
-            bucket_cap,
-        )
-        cand = (
-            qbuckets.alias("a")
-            .join(ibuckets.alias("b"), ["bucket", "salt"])
-            .where(F.col("a.id") != F.col("b.id"))
-            .select(
-                F.col("a.id").alias("qid"),
-                F.col("b.id").alias("nid"),
-                F.col("a.qraw").alias("qv"),
-                F.col("b.nraw").alias("nv"),
-            )
-        )
+        qkc, ikc = "qkeys", "ikeys"
         d = -_dot("qv", "nv")
     elif metric == "angular":
         keys = hyperplane_keys_udf(dim, n_tables, n_bits, seed)
         base = with_unit_vectors(items, vec_col).select(
             F.col(id_col).alias("id"),
-            F.col("unit_vec"),
+            F.col("unit_vec").alias("v"),
             keys(F.col(vec_col).cast("array<double>")).alias("keys"),
         )
-        buckets = _cap_buckets(
-            base.select("id", "unit_vec", F.explode("keys").alias("bucket")),
-            bucket_cap,
-        )
-        cand = (
-            buckets.alias("a")
-            .join(buckets.alias("b"), ["bucket", "salt"])
-            .where(F.col("a.id") != F.col("b.id"))
-            .select(
-                F.col("a.id").alias("qid"),
-                F.col("b.id").alias("nid"),
-                F.col("a.unit_vec").alias("qv"),
-                F.col("b.unit_vec").alias("nv"),
-            )
-        )
+        qkc = ikc = "keys"
         d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * _dot("qv", "nv")))
     elif metric in ("euclidean", "manhattan"):
         keys = pstable_keys_udf(
@@ -483,24 +462,9 @@ def knn_lsh(
         )
         raw = F.col(vec_col).cast("array<double>")
         base = items.select(
-            F.col(id_col).alias("id"), raw.alias("raw"),
-            keys(raw).alias("keys"),
+            F.col(id_col).alias("id"), raw.alias("v"), keys(raw).alias("keys")
         )
-        buckets = _cap_buckets(
-            base.select("id", "raw", F.explode("keys").alias("bucket")),
-            bucket_cap,
-        )
-        cand = (
-            buckets.alias("a")
-            .join(buckets.alias("b"), ["bucket", "salt"])
-            .where(F.col("a.id") != F.col("b.id"))
-            .select(
-                F.col("a.id").alias("qid"),
-                F.col("b.id").alias("nid"),
-                F.col("a.raw").alias("qv"),
-                F.col("b.raw").alias("nv"),
-            )
-        )
+        qkc = ikc = "keys"
         if metric == "euclidean":
             diff = F.zip_with("qv", "nv", lambda x, y: x - y)
             d = F.sqrt(F.greatest(F.lit(0.0), _norm2(diff)))
@@ -514,24 +478,10 @@ def knn_lsh(
         # dim here = number of 64-bit words; sample bit positions per table
         raw = F.col(vec_col)
         base = items.select(
-            F.col(id_col).alias("id"), raw.alias("raw"),
+            F.col(id_col).alias("id"), raw.alias("v"),
             hamming_keys_col(raw, dim, n_tables, n_bits, seed).alias("keys"),
         )
-        buckets = _cap_buckets(
-            base.select("id", "raw", F.explode("keys").alias("bucket")),
-            bucket_cap,
-        )
-        cand = (
-            buckets.alias("a")
-            .join(buckets.alias("b"), ["bucket", "salt"])
-            .where(F.col("a.id") != F.col("b.id"))
-            .select(
-                F.col("a.id").alias("qid"),
-                F.col("b.id").alias("nid"),
-                F.col("a.raw").alias("qv"),
-                F.col("b.raw").alias("nv"),
-            )
-        )
+        qkc = ikc = "keys"
         d = F.aggregate(
             F.zip_with(
                 "qv", "nv",
@@ -546,4 +496,56 @@ def knn_lsh(
             f"'manhattan','hamming'), got {metric}"
         )
 
-    return _topk(cand, d, k)
+    if dedup_first:
+        # ids only through the bucket self-join; unused columns (v, the
+        # key arrays) are pruned out of the exploded relations
+        qbuckets = _cap_buckets(
+            base.select("id", F.explode(qkc).alias("bucket")), bucket_cap
+        )
+        ibuckets = qbuckets if ikc == qkc else _cap_buckets(
+            base.select("id", F.explode(ikc).alias("bucket")), bucket_cap
+        )
+        vecs = base.select("id", "v")
+        pairs = (
+            qbuckets.alias("a")
+            .join(ibuckets.alias("b"), ["bucket", "salt"])
+            .where(F.col("a.id") != F.col("b.id"))
+            .select(F.col("a.id").alias("qid"), F.col("b.id").alias("nid"))
+            .dropDuplicates(["qid", "nid"])
+        )
+        scored = (
+            pairs.join(
+                vecs.select(F.col("id").alias("qid"), F.col("v").alias("qv")),
+                "qid",
+            )
+            .join(
+                vecs.select(F.col("id").alias("nid"), F.col("v").alias("nv")),
+                "nid",
+            )
+            .select("qid", "nid", d.alias("distance"))
+        )
+    else:
+        qbuckets = _cap_buckets(
+            base.select("id", "v", F.explode(qkc).alias("bucket")), bucket_cap
+        )
+        ibuckets = qbuckets if ikc == qkc else _cap_buckets(
+            base.select("id", "v", F.explode(ikc).alias("bucket")), bucket_cap
+        )
+        scored = (
+            qbuckets.alias("a")
+            .join(ibuckets.alias("b"), ["bucket", "salt"])
+            .where(F.col("a.id") != F.col("b.id"))
+            .select(
+                F.col("a.id").alias("qid"),
+                F.col("b.id").alias("nid"),
+                F.col("a.v").alias("qv"),
+                F.col("b.v").alias("nv"),
+            )
+            .select("qid", "nid", d.alias("distance"))
+            .dropDuplicates(["qid", "nid"])
+        )
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
