@@ -656,16 +656,36 @@ def substring_edges(
     # diagonal and its period-shifted twin are common on repetitive
     # content — BOTH kept diagonals must contribute anchors, or the wrong
     # one can claim every slot and the extension under-reports the match.
-    # The groupBy reuses the window's (u, v) partitioning — no 3rd shuffle.
-    wd = Window.partitionBy("u", "v")
+    # The (votes desc, delta) order is TOTAL within a (u, v) group (delta
+    # is the grouping key one level down), so dense_rank <= 2 selects
+    # exactly the first two rows of that order — expressed here as ONE
+    # aggregation with slice(array_sort(...), 1, 2) instead of a window
+    # (the window re-sorted the whole diag relation and, with its
+    # partitioning narrower than diag's (u, v, delta) grouping, cost an
+    # extra exchange; guide §2.4). Per-group state is bounded: distinct
+    # deltas per pair are capped by the anchors-per-fingerprint cap.
     anchored = (
-        diag.withColumn(
-            "drank",
-            F.dense_rank().over(wd.orderBy(F.desc("votes"), "delta")),
+        diag.groupBy("u", "v")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("votes")).alias("neg_votes"),
+                            F.col("delta"),
+                            F.col("anchors"),
+                        )
+                    )
+                ),
+                1, 2,
+            ).alias("top2")
         )
-        .where(F.col("drank") <= 2)
-        .groupBy("u", "v")
-        .agg(F.flatten(F.collect_list("anchors")).alias("anc"))
+        .select(
+            "u", "v",
+            F.flatten(
+                F.transform("top2", lambda s: s["anchors"])
+            ).alias("anc"),
+        )
         .select(
             "u", "v",
             F.transform("anc", lambda x: x.pu).alias("pos_u"),
