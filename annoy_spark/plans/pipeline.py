@@ -81,13 +81,10 @@ def run_pipeline(
     # (parquet count is metadata-only); at scale AQE handles strategy + skew
     n_cand = metrics["candidate_edges"].get("n_rows") or cand.count()
 
-    verified = _stage(
-        store, spark, "verified_edges",
-        lambda: verify_with_rescue(
+    def build_verified() -> DataFrame:
+        return verify_with_rescue(
             cand, signatures, cfg, small_candidates=n_cand < 2_000_000
-        ),
-        metrics, resume,
-    )
+        )
 
     sub_edges = None
     if cfg.enable_substring:
@@ -108,8 +105,30 @@ def run_pipeline(
             store.write("substring_skipped", skipped)
             return edges
 
-        sub_edges = _stage(
-            store, spark, "substring_edges", build_substring, metrics, resume
+        # verify and substring are INDEPENDENT (both read only the
+        # signatures checkpoint / corpus) — run them as two concurrent
+        # driver-thread jobs so one stage's stragglers and driver-side
+        # gaps are backfilled by the other's tasks (guide §2.6). FIFO
+        # scheduling gives the first-submitted job priority and the
+        # second back-fills, which is exactly the wanted shape. Stage
+        # checkpoints, metrics keys, and lineage files are disjoint, so
+        # the resume protocol is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_v = pool.submit(
+                _stage, store, spark, "verified_edges", build_verified,
+                metrics, resume,
+            )
+            fut_s = pool.submit(
+                _stage, store, spark, "substring_edges", build_substring,
+                metrics, resume,
+            )
+            verified = fut_v.result()
+            sub_edges = fut_s.result()
+    else:
+        verified = _stage(
+            store, spark, "verified_edges", build_verified, metrics, resume
         )
 
     def build_clusters() -> DataFrame:
