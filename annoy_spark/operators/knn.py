@@ -361,6 +361,7 @@ def knn_lsh(
     bucket_cap: int = 2000,
     bucket_width: float = 2.0,
     queries: DataFrame | None = None,
+    dedup_first: bool | None = None,
 ) -> DataFrame:
     """All-items approximate top-k: (qid, nid, rank, distance). Candidates =
     pairs sharing >= 1 hyperplane (sub-)bucket; exact re-rank on candidates
@@ -423,8 +424,9 @@ def knn_lsh(
     # overhead there. The switch derives from the data (count vs key
     # space), never from a local-mode constant; the count is one cheap
     # probe next to the existing dim probe.
-    n_items = items.count()
-    dedup_first = n_items > (1 << n_bits) * 2 * k
+    if dedup_first is None:
+        n_items = items.count()
+        dedup_first = n_items > (1 << n_bits) * 2 * k
 
     if metric == "dot":
         raw = F.col(vec_col).cast("array<double>")

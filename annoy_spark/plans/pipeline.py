@@ -72,18 +72,21 @@ def run_pipeline(
         store.write("skipped_groups", skipped)
         return cand
 
-    cand = _stage(
-        store, spark, "candidate_edges", build_candidates, metrics, resume
-    )
-    skipped = store.read(spark, "skipped_groups")
-
-    # broadcast the edge set through the verification joins while it's small
-    # (parquet count is metadata-only); at scale AQE handles strategy + skew
-    n_cand = metrics["candidate_edges"].get("n_rows") or cand.count()
-
-    def build_verified() -> DataFrame:
-        return verify_with_rescue(
-            cand, signatures, cfg, small_candidates=n_cand < 2_000_000
+    def run_band_verify() -> DataFrame:
+        cand = _stage(
+            store, spark, "candidate_edges", build_candidates, metrics,
+            resume,
+        )
+        # broadcast the edge set through the verification joins while it's
+        # small (parquet count is metadata-only); at scale AQE handles
+        # strategy + skew
+        n_cand = metrics["candidate_edges"].get("n_rows") or cand.count()
+        return _stage(
+            store, spark, "verified_edges",
+            lambda: verify_with_rescue(
+                cand, signatures, cfg, small_candidates=n_cand < 2_000_000
+            ),
+            metrics, resume,
         )
 
     sub_edges = None
@@ -105,21 +108,19 @@ def run_pipeline(
             store.write("substring_skipped", skipped)
             return edges
 
-        # verify and substring are INDEPENDENT (both read only the
-        # signatures checkpoint / corpus) — run them as two concurrent
-        # driver-thread jobs so one stage's stragglers and driver-side
-        # gaps are backfilled by the other's tasks (guide §2.6). FIFO
-        # scheduling gives the first-submitted job priority and the
+        # the band->verify chain and the substring pass are INDEPENDENT
+        # once `signatures` is checkpointed (substring reads only the
+        # signatures checkpoint + corpus) — run them as two concurrent
+        # driver-thread jobs so one side's stragglers and driver-side gaps
+        # are backfilled by the other's tasks (guide §2.6). FIFO
+        # scheduling gives the first-submitted chain priority and the
         # second back-fills, which is exactly the wanted shape. Stage
         # checkpoints, metrics keys, and lineage files are disjoint, so
         # the resume protocol is unchanged.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            fut_v = pool.submit(
-                _stage, store, spark, "verified_edges", build_verified,
-                metrics, resume,
-            )
+            fut_v = pool.submit(run_band_verify)
             fut_s = pool.submit(
                 _stage, store, spark, "substring_edges", build_substring,
                 metrics, resume,
@@ -127,9 +128,8 @@ def run_pipeline(
             verified = fut_v.result()
             sub_edges = fut_s.result()
     else:
-        verified = _stage(
-            store, spark, "verified_edges", build_verified, metrics, resume
-        )
+        verified = run_band_verify()
+    skipped = store.read(spark, "skipped_groups")
 
     def build_clusters() -> DataFrame:
         edges = verified.select("u", "v")

@@ -90,8 +90,6 @@ def main() -> None:
                       file=sys.stderr)
             out["queries"]["dedup_pipeline"] = round(best, 3)
             out["stages"] = best_stages
-            global _last_res
-            _last_res = res
         else:
             res = None
 

@@ -496,6 +496,12 @@ def test_auto_n_trees_memory_envelope(spark, corpus, tmp_path):
     idx2 = load_index(spark, root)
     assert idx2.model.cfg.n_trees == resolved
 
+    # ADVICE r5 / round-6 fix: a caller who built with the -1 sentinel can
+    # assert the SAME config at load — the expectation's sentinel resolves
+    # against the stored tree count instead of hash-mismatching
+    idx3 = load_index(spark, root, expected=cfg)
+    assert idx3.model.cfg.n_trees == resolved
+
     def _du(sub):
         total = 0
         for dirpath, _, files in os.walk(os.path.join(root, sub)):

@@ -229,3 +229,24 @@ def test_lsh_deterministic(spark):
     b = {(r.qid, r.rank): r.nid
          for r in knn_lsh(df.repartition(7), k=5, seed=1).collect()}
     assert a == b
+
+
+def test_lsh_adaptive_dedup_paths_identical(spark):
+    """Round 6: knn_lsh's two candidate-assembly shapes (dedup-first vs
+    score-first) must return identical rows on the same input; the
+    adaptive default must match whichever shape it picks."""
+    from annoy_spark.operators.knn import knn_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for kwargs in (
+        dict(k=10, n_tables=8, n_bits=8, seed=42),
+        dict(k=5, n_tables=8, n_bits=4, seed=42, metric="euclidean",
+             bucket_width=4.0),
+        dict(k=5, n_tables=6, n_bits=5, seed=7, metric="dot"),
+    ):
+        first = sorted(map(tuple, knn_lsh(
+            emb, dedup_first=True, **kwargs).collect()))
+        second = sorted(map(tuple, knn_lsh(
+            emb, dedup_first=False, **kwargs).collect()))
+        auto = sorted(map(tuple, knn_lsh(emb, **kwargs).collect()))
+        assert first == second == auto, kwargs

@@ -125,3 +125,18 @@ def test_signatures_deterministic_across_batch_split():
     )
     for w, p in zip(whole, parts):
         assert list(w) == list(p)
+
+
+def test_minhash_mersenne_fold_boundary(coeffs):
+    """Round-6 kernel: the shift+mask Mersenne fold must agree with true
+    modular arithmetic on boundary values — h that reduce to 0, P-1, and
+    dense rows large enough to cross the cache-blocking chunk limit."""
+    a, b = coeffs
+    boundary = [0, 1, int(MERSENNE_P) - 1, int(MERSENNE_P),
+                0x7FFFFFFF, -1, -(1 << 62), (1 << 62) - 1]
+    rng = np.random.default_rng(23)
+    big = list(rng.integers(-(1 << 62), 1 << 62, size=40_000))  # > _CHUNK
+    rows = [boundary, big]
+    got = minhash_batch(pd.Series(rows), a, b)
+    for row, g in zip(rows, got):
+        assert list(g) == _naive_minhash(row, a, b)
