@@ -928,7 +928,11 @@ _JAC_FAST = "CAST(ni AS DOUBLE) / CAST(n_u + n_v - ni AS DOUBLE)"
 
 def _jaccard_pairs_fast_prologue() -> str:
     """CTE chain ending in `scored` (u, v, jaccard) over all pairs sharing
-    >= 1 shingle — single chain reference, counts carried through explode."""
+    >= 1 shingle — single chain reference, counts carried through explode.
+    (A group-collect pair generator — collect_list per shingle, pairs
+    exploded in-row — was A/B-measured ~0.1-0.2 s SLOWER than this
+    self-join at sf0.1: AQE reuses the identical shuffled sides, and the
+    join avoids the collect_list buffers. Kept the join.)"""
     return f"""{_shingle_hash_ctes_fast()},
 inter AS (
   SELECT /*+ SHUFFLE_HASH(a) */ a.doc_id AS u, b.doc_id AS v,
