@@ -98,9 +98,16 @@ def run_pipeline(
                 signatures.groupBy("content_sha")
                 .agg(F.min("file_id").alias("file_id"))
             )
+            # materialize the rep-content relation ONCE (lazy; the fp-UDF
+            # pass triggers it): the substring operator consumes content in
+            # up to four places (fingerprint scan, adaptive-margin probe,
+            # both verify sides) and each reference re-ran this scan+join.
+            # Block loss just fails the stage, which the per-stage
+            # checkpoint protocol re-runs from `signatures`.
             corpus_reps = (
                 corpus.select(file_id_col().alias("file_id"), "content")
                 .join(reps, "file_id")
+                .localCheckpoint(eager=False)
             )
             edges, skipped = substring_edges(
                 corpus_reps, cfg, return_skipped=True
